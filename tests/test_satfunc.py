@@ -101,7 +101,8 @@ def test_sbc_bz3():
 def test_fetch2_chuang():
     p = sf.SatParams.zeros(2)
     p.set_fetch2(0, -2.0e6, -3.0e6)
-    p.set_chuang(1, 2.0e6, 2.0)
+    # chuang_phi0 is negative in real drivers (vsfm_spac_fetch2_problem.F90:42)
+    p.set_chuang(1, -2.0e6, 2.0)
     press = jnp.array([PRESSURE_REF - 1.0e6, PRESSURE_REF - 1.0e6])
     sat, dsat = sf.press_to_sat(p, press)
     assert 0.0 < float(sat[0]) < 1.0 and 0.0 < float(sat[1]) < 1.0
