@@ -107,7 +107,15 @@ def test_fetch2_chuang():
     sat, dsat = sf.press_to_sat(p, press)
     assert 0.0 < float(sat[0]) < 1.0 and 0.0 < float(sat[1]) < 1.0
     back = sf.sat_to_press(p, sat)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(press), rtol=1e-12)
+    # FETCH2 forward/inverse are mutual inverses.
+    assert float(back[0]) == pytest.approx(float(press[0]), rel=1e-12)
+    # The reference's SatToPc_Chuang (SaturationFunction.F90:1364-1389) is
+    # sign-inconsistent with PcToSat_Chuang for the negative-phi0 convention
+    # its drivers use; it is also dead code (no caller in the reference).
+    # We reproduce the literal formula: pc = (sat^(-1/p) - 1) * (-phi0).
+    phi0, pp = -2.0e6, 2.0
+    expect_pc = (1.0 / float(sat[1]) ** (1.0 / pp) - 1.0) * (-phi0)
+    assert float(back[1]) == pytest.approx(expect_pc + PRESSURE_REF, rel=1e-12)
 
 
 def test_weibull_campbell_relperm():
