@@ -122,7 +122,9 @@ def test_weibull_campbell_relperm():
     p = sf.SatParams.zeros(2)
     p.set_vg(slice(None), 0.125, 1e-4, 0.5)  # sat func (unused by these relperms)
     p.set_weibull_relperm(0, 300.0 * 9806.65, 2.0)  # d [Pa], c
-    p.set_campbell_relperm(1, -5000.0, 3.0)
+    # campbell_he is stored positive: drivers set `-Campbell_he*1e3` with
+    # Campbell_he = -4.2 J/kg (vsfm_spac_campbell_problem.F90:1050,1452)
+    p.set_campbell_relperm(1, 5000.0, 3.0)
     press = jnp.array([PRESSURE_REF - 2.0e6, PRESSURE_REF - 2.0e6])
     kr, dkr = sf.press_to_relperm(p, press, 1.0)
     pc = -2.0e6
