@@ -1,0 +1,720 @@
+"""Richards equation (VSFM) — GE assembly + SoE + MPP facade (SNES path).
+
+TPU-native reimplementation of the reference's VSFM stack:
+
+* auxvar constitutive chain sat/kr/den/vis/por:
+  ``auxvar/RichardsODEPressureAuxType.F90:237-294``
+* two-point Darcy flux with upwinded mobility, distance-weighted harmonic
+  permeability, gravity term and seepage clamp + analytic derivatives:
+  ``ge/RichardsMod.F90:118-340`` (note: the reference returns the
+  *negative* of d(flux)/dP and compensates at assembly; we return the true
+  derivative and assemble J = dF/dP directly — identical matrices)
+* residual F = Accum(P) - Accum(P_prev) + Divergence(P):
+  ``ge/GoveqnRichardsODEPressureType.F90:388-421,1603-1938``
+* Jacobian: ibid :1638-1693 (accum) and :1941-2200 (divergence), with
+  identity rows for inactive cells
+* SNES stepper with line-search rotation and timestep cutting:
+  ``soe/SystemOfEquationsBaseType.F90:368-552``
+* soil staging incl. BC/SS auxvar property copies:
+  ``mpp/MultiPhysicsProbVSFM.F90:249-475`` (VSFMMPPSetSoilsCLM)
+* restart seeding: ibid :603-707 (VSFMMPPRestart)
+
+State is SoA jnp arrays; topology/properties static numpy.  The
+residual/Jacobian-value functions are pure and jitted once; the serial
+SNES driver (ops/snes.py) consumes them for regression parity, and the
+batched TPU Newton path reuses the same assembly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpp_tpu import constants as C
+from mpp_tpu.constants import (Cond, GEType, SOEType, Var, AuxVarKind,
+                               FluxType, PRESSURE_REF, GRAVITY_CONSTANT,
+                               FMWH2O)
+from mpp_tpu.dtypes.mesh import Mesh, ConnectionSet, concat_connection_sets
+from mpp_tpu.dtypes.conditions import Condition
+from mpp_tpu.dtypes.regions import region_connection_set
+from mpp_tpu.ops.sparse import csr_template, CSRTemplate
+from mpp_tpu.ops import eos, satfunc as sf
+from mpp_tpu.ops.porosity import PorosityParams, porosity
+from mpp_tpu.ops.snes import (SNESOptions, snes_solve, LS_BT, LS_L2,
+                              LS_BASIC, LS_CP)
+
+
+def richards_aux(P, params: sf.SatParams, por_params: PorosityParams,
+                 temperature, frac_liq, density_type: int):
+    """RichODEPressureAuxVarCompute: (sat, dsat, kr, dkr, den, dden_dP,
+    vis, dvis_dP, por, dpor_dP)."""
+    sat, dsat = sf.press_to_sat(params, P)
+    kr, dkr = sf.press_to_relperm(params, P, frac_liq)
+    den, dden_dP, _dden_dT = eos.density(P, temperature, density_type)
+    vis, dvis_dP, _ = eos.viscosity(P, temperature)
+    por, dpor_dP = porosity(por_params, P)
+    return sat, dsat, kr, dkr, den, dden_dP, vis, dvis_dP, por, dpor_dP
+
+
+def darcy_flux(P_up, P_dn, kr_up, kr_dn, dkr_up, dkr_dn, den_up, den_dn,
+               dden_up, dden_dn, vis_up, vis_dn, dvis_up, dvis_dn,
+               perm_up, perm_dn, dist_up, dist_dn, area, unit_z,
+               internal: bool, cond_kind=None, seepage_mask=None):
+    """Vectorized RichardsFlux_Internal (RichardsMod.F90:118-340).
+
+    Returns (flux, dflux_dP_up, dflux_dP_dn) with TRUE derivatives.
+    ``cond_kind`` (static numpy codes per conn) selects BC weighting;
+    ``seepage_mask`` marks seepage BCs.
+    """
+    dist = dist_up + dist_dn
+    if internal:
+        upweight = dist_up / dist
+        Dq = (perm_up * perm_dn) / (dist_up * perm_dn + dist_dn * perm_up)
+        mass_flux = None
+    else:
+        is_dirichlet_like = np.isin(cond_kind, (int(Cond.DIRICHLET),
+                                                int(Cond.MASS_FLUX),
+                                                int(Cond.SEEPAGE_BC)))
+        is_otr = cond_kind == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
+        if not (is_dirichlet_like | is_otr).all():
+            raise ValueError("RichardsFlux: unknown cond_type")
+        w_int = dist_up / dist
+        Dq_int = (perm_up * perm_dn) / (dist_up * perm_dn + dist_dn * perm_up)
+        upweight = jnp.where(jnp.asarray(is_otr), w_int, 0.0)
+        Dq = jnp.where(jnp.asarray(is_otr), Dq_int, perm_dn / dist)
+        mass_flux = jnp.asarray(cond_kind == int(Cond.MASS_FLUX))
+
+    udist_dot_ugrav = unit_z * (-GRAVITY_CONSTANT)
+    dist_gravity = dist * udist_dot_ugrav
+    den_ave = upweight * den_up + (1.0 - upweight) * den_dn
+    gravityterm = den_ave * FMWH2O * dist_gravity
+    dphi = P_up - P_dn + gravityterm
+
+    if not internal and seepage_mask is not None and seepage_mask.any():
+        clamp = (jnp.asarray(seepage_mask) & (dphi > 0.0)
+                 & (P_up <= PRESSURE_REF))
+    else:
+        clamp = jnp.zeros_like(dphi, dtype=bool)
+    dphi = jnp.where(clamp, 0.0, dphi)
+
+    up_wind = dphi >= 0.0
+    ukvr = jnp.where(up_wind, kr_up / vis_up, kr_dn / vis_dn)
+    v_darcy = -Dq * ukvr * dphi
+    if mass_flux is not None:
+        v_darcy = jnp.where(mass_flux, 0.0, v_darcy)
+    q = v_darcy * area
+    flux = q * den_ave
+
+    # true derivatives
+    dden_ave_up = upweight * dden_up
+    dden_ave_dn = (1.0 - upweight) * dden_dn
+    dphi_dP_up = 1.0 + upweight * dist_gravity * FMWH2O * dden_up
+    dphi_dP_dn = -1.0 + (1.0 - upweight) * dist_gravity * FMWH2O * dden_dn
+    dphi_dP_dn = jnp.where(clamp, 0.0, dphi_dP_dn)
+    dukvr_up = jnp.where(up_wind,
+                         dkr_up / vis_up - kr_up / (vis_up * vis_up) * dvis_up,
+                         0.0)
+    dukvr_dn = jnp.where(up_wind, 0.0,
+                         dkr_dn / vis_dn - kr_dn / (vis_dn * vis_dn) * dvis_dn)
+    dq_up = -Dq * (dukvr_up * dphi + ukvr * dphi_dP_up) * area
+    dq_dn = -Dq * (dukvr_dn * dphi + ukvr * dphi_dP_dn) * area
+    dflux_up = dq_up * den_ave + q * dden_ave_up
+    dflux_dn = dq_dn * den_ave + q * dden_ave_dn
+    if mass_flux is not None:
+        dflux_up = jnp.where(mass_flux, 0.0, dflux_up)
+        dflux_dn = jnp.where(mass_flux, 0.0, dflux_dn)
+    return flux, dflux_up, dflux_dn
+
+
+@dataclasses.dataclass
+class RichardsGE:
+    """GE_RE: Richards equation over one mesh."""
+    name: str
+    mesh: Mesh
+    itype: int = int(GEType.RE)
+    dof: int = 1
+    boundary_conditions: List[Condition] = dataclasses.field(default_factory=list)
+    source_sinks: List[Condition] = dataclasses.field(default_factory=list)
+
+    # static per-cell parameters
+    sat_params: sf.SatParams = None
+    por_params: PorosityParams = None
+    perm: np.ndarray = None               # [n,3]
+    density_type: int = eos.DENSITY_TGDPB01
+    # BC/SS auxvar parameter copies (VSFMMPPSetSoilsCLM:422-471)
+    bc_sat_params: sf.SatParams = None
+    bc_por_params: PorosityParams = None
+    bc_perm: np.ndarray = None
+    ss_sat_params: sf.SatParams = None
+    ss_pot_sink_pressure: np.ndarray = None
+    ss_pot_sink_exponent: np.ndarray = None
+
+    # dynamic state
+    temperature: jnp.ndarray = None
+    frac_liq_sat: jnp.ndarray = None
+    pressure: jnp.ndarray = None
+    pressure_prev: jnp.ndarray = None
+    bc_value: jnp.ndarray = None          # condition values per bc conn
+    bc_temperature: jnp.ndarray = None
+    ss_value: jnp.ndarray = None          # mass rates per ss conn
+    accum_prev: jnp.ndarray = None
+
+    def allocate_auxvars(self):
+        n = self.mesh.ncells_all
+        self.sat_params = sf.SatParams.zeros(n)
+        self.por_params = PorosityParams.constant(np.zeros(n))
+        self.perm = np.zeros((n, 3))
+        self.temperature = jnp.full(n, 273.15 + 25.0)
+        self.frac_liq_sat = jnp.ones(n)
+        self.pressure = jnp.zeros(n)
+        self.pressure_prev = jnp.full(n, 3.5355e3)
+        nbc = sum(c.num_connections for c in self.boundary_conditions)
+        self.bc_sat_params = sf.SatParams.zeros(nbc)
+        self.bc_por_params = PorosityParams.constant(np.zeros(nbc))
+        self.bc_perm = np.zeros((nbc, 3))
+        self.bc_value = jnp.zeros(nbc)
+        self.bc_temperature = jnp.full(nbc, 273.15 + 25.0)
+        nss = sum(c.num_connections for c in self.source_sinks)
+        self.ss_sat_params = sf.SatParams.zeros(nss)
+        self.ss_pot_sink_pressure = np.zeros(nss)
+        self.ss_pot_sink_exponent = np.zeros(nss)
+        self.ss_value = jnp.zeros(nss)
+        self.accum_prev = jnp.zeros(self.mesh.ncells_local)
+
+    # ---- static topology ---------------------------------------------------
+    def _internal(self) -> ConnectionSet:
+        cs = concat_connection_sets(self.mesh.intrn_conn_sets)
+        if cs.unit_vec is None:
+            # unit vector from centroid difference (MeshType.F90:932-938)
+            dx = self.mesh.xc[cs.id_dn] - self.mesh.xc[cs.id_up]
+            dy = self.mesh.yc[cs.id_dn] - self.mesh.yc[cs.id_up]
+            dz = self.mesh.zc[cs.id_dn] - self.mesh.zc[cs.id_up]
+            dist = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
+            cs.unit_vec = np.stack([dx / dist, dy / dist, dz / dist], axis=1)
+        return cs
+
+    def _bc_concat(self):
+        ids, dup, ddn, ar, uvz, code = [], [], [], [], [], []
+        for cond in self.boundary_conditions:
+            cset = cond.conn_set
+            ids.append(cset.id_dn)
+            dup.append(cset.dist_up)
+            ddn.append(cset.dist_dn)
+            ar.append(cset.area)
+            uvz.append(cset.unit_vec[:, 2] if cset.unit_vec is not None
+                       else np.zeros(cset.num_connections))
+            code.append(np.full(cset.num_connections, cond.itype, np.int32))
+        if not ids:
+            z = np.zeros(0)
+            return (z.astype(np.int32), z, z, z, z, z.astype(np.int32))
+        return (np.concatenate(ids).astype(np.int32), np.concatenate(dup),
+                np.concatenate(ddn), np.concatenate(ar), np.concatenate(uvz),
+                np.concatenate(code))
+
+    def _ss_concat(self):
+        ids, code = [], []
+        for cond in self.source_sinks:
+            ids.append(cond.conn_set.id_dn)
+            code.append(np.full(cond.conn_set.num_connections, cond.itype,
+                                np.int32))
+        if not ids:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        return np.concatenate(ids).astype(np.int32), np.concatenate(code)
+
+    def _bc_perms(self):
+        """Directional permeabilities on BC connections: BC auxvar side and
+        adjacent-cell side (|unit| . perm)."""
+        bc_ids = self._bc_concat()[0]
+        perm_b = np.zeros(bc_ids.size)
+        perm_cell = np.zeros(bc_ids.size)
+        off = 0
+        for cond in self.boundary_conditions:
+            cs = cond.conn_set
+            m = cs.num_connections
+            uv = (cs.unit_vec if cs.unit_vec is not None
+                  else np.zeros((m, 3)))
+            cid = cs.id_dn
+            perm_b[off:off + m] = (
+                np.abs(uv[:, 0]) * self.bc_perm[off:off + m, 0]
+                + np.abs(uv[:, 1]) * self.bc_perm[off:off + m, 1]
+                + np.abs(uv[:, 2]) * self.bc_perm[off:off + m, 2])
+            perm_cell[off:off + m] = (
+                np.abs(uv[:, 0]) * self.perm[cid, 0]
+                + np.abs(uv[:, 1]) * self.perm[cid, 1]
+                + np.abs(uv[:, 2]) * self.perm[cid, 2])
+            off += m
+        return perm_b, perm_cell
+
+    def coo_coords(self, row_off=0, col_off=0):
+        """A-contribution coordinates: internal 4/conn, bc diag, ss diag,
+        accum diag."""
+        n = self.mesh.ncells_local
+        ic = self._internal()
+        bc_ids = self._bc_concat()[0]
+        ss_ids = self._ss_concat()[0]
+        rows = [ic.id_up, ic.id_up, ic.id_dn, ic.id_dn, bc_ids, ss_ids,
+                np.arange(n)]
+        cols = [ic.id_up, ic.id_dn, ic.id_up, ic.id_dn, bc_ids, ss_ids,
+                np.arange(n)]
+        return (np.concatenate(rows) + row_off, np.concatenate(cols) + col_off)
+
+    # ---- aux + assembly (pure, jittable) ----------------------------------
+    def _cell_aux(self, P):
+        return richards_aux(P, self.sat_params, self.por_params,
+                            self.temperature, self.frac_liq_sat,
+                            self.density_type)
+
+    def _bc_aux_pressure(self, P):
+        """UpdateAuxVarsBC: Dirichlet/seepage take the condition value;
+        mass rate/flux mirror the internal cell
+        (GoveqnRichardsODEPressureType.F90:1508-1550)."""
+        bc_ids, _, _, _, _, code = self._bc_concat()
+        takes_value = np.isin(code, (int(Cond.DIRICHLET),
+                                     int(Cond.SEEPAGE_BC)))
+        return jnp.where(jnp.asarray(takes_value), self.bc_value,
+                         P[jnp.asarray(bc_ids)])
+
+    def accum(self, P):
+        """por*den*sat*vol/dt — without dt: caller divides."""
+        sat, _, _, _, den, _, _, _, por, _ = self._cell_aux(P)
+        vol = jnp.asarray(self.mesh.vol)
+        return por * den * sat * vol
+
+    def residual(self, P, dt):
+        """F (length ncells_local)."""
+        n = self.mesh.ncells_local
+        active = jnp.asarray(self.mesh.is_active)
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = self._cell_aux(P)
+        vol = jnp.asarray(self.mesh.vol)
+        F = jnp.where(active, por * den * sat * vol / dt, 0.0)
+        F = F - self.accum_prev
+
+        ic = self._internal()
+        iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
+        both = active[iu] & active[idn]
+        perm_up = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
+                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
+                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
+        perm_dn = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
+                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
+                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
+        flux, _, _ = darcy_flux(
+            P[iu], P[idn], kr[iu], kr[idn], dkr[iu], dkr[idn], den[iu],
+            den[idn], dden[iu], dden[idn], vis[iu], vis[idn], dvis[iu],
+            dvis[idn], jnp.asarray(perm_up), jnp.asarray(perm_dn),
+            jnp.asarray(ic.dist_up), jnp.asarray(ic.dist_dn),
+            jnp.asarray(ic.area), jnp.asarray(ic.unit_vec[:, 2]),
+            internal=True)
+        flux = jnp.where(both, flux, 0.0)
+        F = F.at[iu].add(-flux).at[idn].add(flux)
+
+        bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
+        if bc_ids.size:
+            bids = jnp.asarray(bc_ids)
+            P_bc = self._bc_aux_pressure(P)
+            (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
+             por_b, dpor_b) = richards_aux(
+                P_bc, self.bc_sat_params, self.bc_por_params,
+                self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
+            perm_b, perm_cell = self._bc_perms()
+            seep = bcode == int(Cond.SEEPAGE_BC)
+            flux_b, _, _ = darcy_flux(
+                P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
+                den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
+                dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
+                jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
+                jnp.asarray(buvz), internal=False, cond_kind=bcode,
+                seepage_mask=seep)
+            flux_b = jnp.where(active[bids], flux_b, 0.0)
+            F = F.at[bids].add(flux_b)
+
+        ss_ids, ss_code = self._ss_concat()
+        if ss_ids.size:
+            sids = jnp.asarray(ss_ids)
+            dP = P[sids] - PRESSURE_REF
+            Pc = jnp.asarray(self.ss_pot_sink_pressure)
+            nn = jnp.asarray(self.ss_pot_sink_exponent)
+            is_camp = np.asarray(ss_code == int(Cond.DOWNREG_MASS_RATE_CAMPBELL))
+            is_fetch = np.asarray(ss_code == int(Cond.DOWNREG_MASS_RATE_FETCH2))
+            dP_neg = dP <= 0.0
+            dP_safe = jnp.where(dP_neg, dP, -1.0)
+            ratio = jnp.where(jnp.asarray(is_camp | is_fetch),
+                              dP_safe / Pc, 1.0)
+            pw = ratio ** nn
+            f_camp = jnp.where(dP_neg, 1.0 + pw, 1.0)
+            f_fetch = jnp.where(dP_neg, jnp.exp(-pw), 1.0)
+            val = self.ss_value / FMWH2O
+            contrib = jnp.where(jnp.asarray(is_camp), val / f_camp,
+                                jnp.where(jnp.asarray(is_fetch),
+                                          val * f_fetch, val))
+            F = F.at[sids].add(-contrib)
+        return F
+
+    def jacobian_values(self, P, dt):
+        """A-contribution values in coo_coords order."""
+        n = self.mesh.ncells_local
+        active = jnp.asarray(self.mesh.is_active)
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = self._cell_aux(P)
+        vol = jnp.asarray(self.mesh.vol)
+
+        ic = self._internal()
+        iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
+        both = active[iu] & active[idn]
+        perm_up = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
+                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
+                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
+        perm_dn = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
+                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
+                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
+        _, dfu, dfd = darcy_flux(
+            P[iu], P[idn], kr[iu], kr[idn], dkr[iu], dkr[idn], den[iu],
+            den[idn], dden[iu], dden[idn], vis[iu], vis[idn], dvis[iu],
+            dvis[idn], jnp.asarray(perm_up), jnp.asarray(perm_dn),
+            jnp.asarray(ic.dist_up), jnp.asarray(ic.dist_dn),
+            jnp.asarray(ic.area), jnp.asarray(ic.unit_vec[:, 2]),
+            internal=True)
+        dfu = jnp.where(both, dfu, 0.0)
+        dfd = jnp.where(both, dfd, 0.0)
+        # F_up -= flux ; F_dn += flux
+        intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
+
+        bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
+        if bc_ids.size:
+            bids = jnp.asarray(bc_ids)
+            P_bc = self._bc_aux_pressure(P)
+            (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
+             por_b, dpor_b) = richards_aux(
+                P_bc, self.bc_sat_params, self.bc_por_params,
+                self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
+            perm_b, perm_cell = self._bc_perms()
+            seep = bcode == int(Cond.SEEPAGE_BC)
+            _, _, dfd_b = darcy_flux(
+                P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
+                den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
+                dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
+                jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
+                jnp.asarray(buvz), internal=False, cond_kind=bcode,
+                seepage_mask=seep)
+            # F_cell += flux  -> J[c,c] += dflux_dP_dn
+            bc_vals = jnp.where(active[bids], dfd_b, 0.0)
+        else:
+            bc_vals = jnp.zeros(0)
+
+        ss_ids, ss_code = self._ss_concat()
+        if ss_ids.size:
+            sids = jnp.asarray(ss_ids)
+            dP = P[sids] - PRESSURE_REF
+            Pc = jnp.asarray(self.ss_pot_sink_pressure)
+            nn = jnp.asarray(self.ss_pot_sink_exponent)
+            is_camp = np.asarray(ss_code == int(Cond.DOWNREG_MASS_RATE_CAMPBELL))
+            is_fetch = np.asarray(ss_code == int(Cond.DOWNREG_MASS_RATE_FETCH2))
+            dP_neg = dP <= 0.0
+            dP_safe = jnp.where(dP_neg, dP, -1.0)
+            ratio = jnp.where(jnp.asarray(is_camp | is_fetch),
+                              dP_safe / Pc, 1.0)
+            pw = ratio ** nn
+            f_camp = 1.0 + pw
+            f_fetch = jnp.exp(-pw)
+            val = self.ss_value / FMWH2O
+            v_camp = val * (nn * pw) / (dP_safe * f_camp ** 2.0)
+            v_fetch = val * (nn * pw) * f_fetch / dP_safe
+            ss_vals = jnp.where(
+                jnp.asarray(is_camp) & dP_neg, v_camp,
+                jnp.where(jnp.asarray(is_fetch) & dP_neg, v_fetch, 0.0))
+        else:
+            ss_vals = jnp.zeros(0)
+
+        accum_deriv = ((dpor * den * sat + por * dden * sat
+                        + por * den * dsat) * vol / dt)[:n]
+        diag_vals = jnp.where(active[:n], accum_deriv, 1.0)
+        return jnp.concatenate([intr_vals, bc_vals, ss_vals, diag_vals])
+
+    # ---- staging (VSFMMPPSetSoilsCLM) -------------------------------------
+    def set_soils(self, filter_vsfmc, watsat, hksat, bsw, sucsat,
+                  residual_sat, satfunc_type: str, density_type: int,
+                  grav=C.GRAV_CLM, denh2o=C.DENH2O):
+        vish2o = 0.001002
+        watsat = np.asarray(watsat)
+        ncol, nlev = watsat.shape
+        self.density_type = density_type
+        first = int(np.nonzero(np.asarray(filter_vsfmc) == 1)[0][0])
+        for c in range(ncol):
+            src = c if filter_vsfmc[c] == 1 else first
+            for j in range(nlev):
+                icell = c * nlev + j
+                perm = hksat[src, j] * vish2o / (denh2o * grav) * 0.001
+                alpha = 1.0 / (sucsat[src, j] * grav)
+                lam = 1.0 / bsw[src, j]
+                sat_res = residual_sat[src, j]
+                self.perm[icell, :] = perm
+                self.por_params.porosity_base[icell] = watsat[src, j]
+                if satfunc_type == "brooks_corey":
+                    self.sat_params.set_bc(icell, sat_res, alpha, lam)
+                elif satfunc_type == "smooth_brooks_corey_bz2":
+                    self.sat_params.set_sbc_bz2(icell, sat_res, alpha, lam,
+                                                -0.9 / alpha)
+                elif satfunc_type == "smooth_brooks_corey_bz3":
+                    self.sat_params.set_sbc_bz3(icell, sat_res, alpha, lam,
+                                                -0.9 / alpha)
+                elif satfunc_type == "van_genuchten":
+                    self.sat_params.set_vg(icell, sat_res, alpha, lam)
+                else:
+                    raise ValueError(f"Unknown satfunc {satfunc_type}")
+        self._copy_params_to_bc_ss()
+
+    def _copy_params_to_bc_ss(self):
+        """BC/SS auxvars inherit the adjacent cell's parameters
+        (VSFMMPPSetSoilsCLM:422-471)."""
+        bc_ids = self._bc_concat()[0]
+        for fld in dataclasses.fields(sf.SatParams):
+            getattr(self.bc_sat_params, fld.name)[:] = np.asarray(
+                getattr(self.sat_params, fld.name))[bc_ids]
+        self.bc_por_params.porosity_base[:] = \
+            self.por_params.porosity_base[bc_ids]
+        self.bc_perm[:] = self.perm[bc_ids]
+        ss_ids = self._ss_concat()[0]
+        if ss_ids.size:
+            for fld in dataclasses.fields(sf.SatParams):
+                getattr(self.ss_sat_params, fld.name)[:] = np.asarray(
+                    getattr(self.sat_params, fld.name))[ss_ids]
+
+
+class VSFMSoE:
+    """SOE_RE_ODE: VSFM system of equations (SNES).
+
+    Single- or multi-GE; implements VSFMSOEResidual/VSFMJacobian structure
+    and the SOEBaseStepDT_SNES stepper with dynamic line-search rotation
+    and dt cutting (SystemOfEquationsBaseType.F90:368-552).
+    """
+
+    def __init__(self):
+        self.goveqns: List[RichardsGE] = []
+        self.itype = int(SOEType.RE_ODE)
+        self.soln = None
+        self.soln_prev = None
+        self.soln_prev_clm = None
+        self.template: Optional[CSRTemplate] = None
+        self.use_dynamic_linesearch = False
+        self.default_linesearch = LS_BT
+        self.snes_stol = 1e-10
+        self.cumulative_newton_iterations = 0
+        self.cumulative_linear_iterations = 0
+        self._jit_res = None
+        self._jit_jac = None
+
+    @property
+    def n_total(self):
+        return sum(g.mesh.ncells_local for g in self.goveqns)
+
+    def setup(self):
+        offs = np.cumsum([0] + [g.mesh.ncells_local for g in self.goveqns])
+        self.offsets = offs
+        rows, cols = [], []
+        for g, off in zip(self.goveqns, offs[:-1]):
+            r, c = g.coo_coords(off, off)
+            rows.append(r)
+            cols.append(c)
+        n = self.n_total
+        self.template = csr_template(n, n, np.concatenate(rows),
+                                     np.concatenate(cols))
+        self.soln = jnp.zeros(n)
+        self.soln_prev = jnp.zeros(n)
+        self.soln_prev_clm = jnp.zeros(n)
+
+    # SNES callbacks ---------------------------------------------------------
+    def _residual(self, X: np.ndarray, dt: float) -> np.ndarray:
+        Xj = jnp.asarray(X)
+        Fs = []
+        for g, off in zip(self.goveqns, self.offsets[:-1]):
+            Fs.append(g.residual(Xj[off:off + g.mesh.ncells_local], dt))
+        return np.asarray(jnp.concatenate(Fs))
+
+    def _jacobian(self, X: np.ndarray, dt: float):
+        Xj = jnp.asarray(X)
+        vals = []
+        for g, off in zip(self.goveqns, self.offsets[:-1]):
+            vals.append(g.jacobian_values(Xj[off:off + g.mesh.ncells_local],
+                                          dt))
+        data = np.asarray(self.template.assemble(jnp.concatenate(vals)))
+        return self.template.indptr, self.template.indices, data
+
+    def pre_solve(self, dt):
+        """VSFMSOEPreSolve: aux pressure from soln_prev; accum_prev."""
+        for g, off in zip(self.goveqns, self.offsets[:-1]):
+            Pprev = self.soln_prev[off:off + g.mesh.ncells_local]
+            g.pressure = Pprev
+            active = jnp.asarray(g.mesh.is_active)
+            g.accum_prev = jnp.where(active, g.accum(Pprev) / dt, 0.0)
+
+    def step_dt(self, dt: float, nstep: int = 1):
+        """SOEBaseStepDT_SNES semantics."""
+        time = 0.0
+        dt_iter = dt
+        num_time_cuts = 0
+        max_num_time_cuts = 20
+        linesearch_iter = 0
+        if self.default_linesearch in (LS_BT, LS_L2):
+            ls_list = ([LS_BT, LS_L2] if self.default_linesearch == LS_BT
+                       else [LS_L2, LS_BT])
+        else:
+            ls_list = [self.default_linesearch, LS_L2, LS_BT]
+
+        converged = False
+        reason = 0
+        while True:
+            self.pre_solve(dt_iter)
+            opts = SNESOptions(stol=self.snes_stol,
+                               linesearch=ls_list[linesearch_iter])
+            res = snes_solve(partial(self._residual, dt=dt_iter),
+                             partial(self._jacobian, dt=dt_iter),
+                             np.asarray(self.soln), opts)
+            reason = res.reason
+            if res.reason < 0:
+                linesearch_iter += 1
+                if not (self.use_dynamic_linesearch
+                        and linesearch_iter < len(ls_list)):
+                    linesearch_iter = 0
+                    num_time_cuts += 1
+                    dt_iter = 0.5 * dt_iter
+                self.soln = self.soln_prev
+            else:
+                converged = True
+                time += dt_iter
+                self.cumulative_newton_iterations += res.iterations
+                self.cumulative_linear_iterations += res.linear_iterations
+                self.soln = jnp.asarray(res.x)
+                # PostSolve
+                self.soln_prev = self.soln
+                for g, off in zip(self.goveqns, self.offsets[:-1]):
+                    g.pressure = self.soln[off:off + g.mesh.ncells_local]
+            if num_time_cuts > max_num_time_cuts:
+                return False, reason
+            if time >= dt:
+                break
+        return converged, reason
+
+    def get_soln(self):
+        return np.asarray(self.soln)
+
+
+class VSFMMPP:
+    """mpp_vsfm_type facade with the 8-step builder contract."""
+
+    def __init__(self):
+        self.name = ""
+        self.id = 0
+        self.meshes: List[Mesh] = []
+        self.soe = VSFMSoE()
+
+    def set_name(self, name):
+        self.name = name
+
+    def set_id(self, mpp_id):
+        self.id = int(mpp_id)
+
+    def set_num_meshes(self, n):
+        pass
+
+    def add_mesh(self, mesh: Mesh):
+        self.meshes.append(mesh)
+
+    def add_goveqn(self, ge_type, name, mesh_index=None):
+        if ge_type != GEType.RE:
+            raise NotImplementedError(ge_type)
+        idx = mesh_index if mesh_index is not None else len(self.soe.goveqns)
+        ge = RichardsGE(name=name, mesh=self.meshes[idx])
+        self.soe.goveqns.append(ge)
+        return len(self.soe.goveqns)
+
+    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
+                                cond_type, region=None, conn_set=None):
+        ge = self.soe.goveqns[ieqn - 1]
+        if conn_set is None and region is not None:
+            conn_set = region_connection_set(ge.mesh, region)
+        cond = Condition(name=name, units=unit, itype=int(cond_type),
+                         conn_set=conn_set)
+        cond.ensure_value()
+        is_ss = cond_type in (Cond.MASS_RATE,
+                              Cond.DOWNREG_MASS_RATE_CAMPBELL,
+                              Cond.DOWNREG_MASS_RATE_FETCH2) \
+            or ss_or_bc_type == Cond.SS
+        if is_ss:
+            ge.source_sinks.append(cond)
+        else:
+            ge.boundary_conditions.append(cond)
+        return cond
+
+    def allocate_auxvars(self):
+        for g in self.soe.goveqns:
+            g.allocate_auxvars()
+
+    def setup_problem(self, dyn_linesearch=None):
+        self.soe.setup()
+        if dyn_linesearch is not None:
+            self.soe.use_dynamic_linesearch = bool(dyn_linesearch)
+
+    def set_soils(self, filter_vsfmc, watsat, hksat, bsw, sucsat,
+                  residual_sat, satfunc_type, density_type, goveqn_id=1):
+        self.soe.goveqns[goveqn_id - 1].set_soils(
+            filter_vsfmc, watsat, hksat, bsw, sucsat, residual_sat,
+            satfunc_type, density_type)
+
+    def restart(self, press_1d):
+        """VSFMMPPRestart: seed soln/soln_prev/pressure_prev."""
+        press = jnp.asarray(np.asarray(press_1d, np.float64))
+        self.soe.soln = press
+        self.soe.soln_prev = press
+        self.soe.soln_prev_clm = press
+        for g, off in zip(self.soe.goveqns, self.soe.offsets[:-1]):
+            g.pressure_prev = press[off:off + g.mesh.ncells_local]
+
+    def set_data(self, auxvar_kind, var_type, soe_auxvar_id, data):
+        """SetDataFromCLM: BC/SS condition values.
+
+        ``soe_auxvar_id`` indexes conditions in GE order (BCs then next GE),
+        1-based, matching the SoE auxvar-offset bookkeeping.
+        """
+        data = jnp.asarray(np.asarray(data, np.float64))
+        if auxvar_kind == AuxVarKind.BC:
+            idx = 0
+            for g in self.soe.goveqns:
+                for ci, cond in enumerate(g.boundary_conditions):
+                    idx += 1
+                    if idx == soe_auxvar_id:
+                        off = sum(c.num_connections
+                                  for c in g.boundary_conditions[:ci])
+                        m = cond.num_connections
+                        g.bc_value = g.bc_value.at[off:off + m].set(data)
+                        return
+            raise IndexError(soe_auxvar_id)
+        elif auxvar_kind == AuxVarKind.SS:
+            idx = 0
+            for g in self.soe.goveqns:
+                for ci, cond in enumerate(g.source_sinks):
+                    idx += 1
+                    if idx == soe_auxvar_id:
+                        off = sum(c.num_connections
+                                  for c in g.source_sinks[:ci])
+                        m = cond.num_connections
+                        g.ss_value = g.ss_value.at[off:off + m].set(data)
+                        return
+            raise IndexError(soe_auxvar_id)
+        raise NotImplementedError(auxvar_kind)
+
+    def get_data(self, auxvar_kind, var_type, goveqn_id=-1):
+        """GetDataForCLM: pressure / saturation over all GEs."""
+        out = []
+        for g in self.soe.goveqns:
+            P = g.pressure
+            if var_type == Var.PRESSURE:
+                out.append(np.asarray(P))
+            elif var_type == Var.LIQ_SAT:
+                sat, _ = sf.press_to_sat(g.sat_params, P)
+                out.append(np.asarray(sat))
+            else:
+                raise NotImplementedError(var_type)
+        return np.concatenate(out)
