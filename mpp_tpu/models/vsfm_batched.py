@@ -1,0 +1,191 @@
+"""Batched-column VSFM: the TPU production path.
+
+The reference scales by giving each MPI rank a set of independent soil
+columns solved serially (``mpp/MultiPhysicsProbBaseType.F90:1132`` —
+PETSC_COMM_SELF per rank; SURVEY §2.8).  The TPU-native equivalent
+batches columns as an array axis: state is [ncol, nz], the per-column
+tridiagonal Newton systems are solved by a batched Thomas sweep (the
+exact LU — the reference's ILU(0) is exactly this for tridiagonal
+operators), and Newton iterates with per-column convergence masks so one
+stiff column doesn't serialize the batch.
+
+Columns shard over the device mesh (`parallel/`); everything here is pure
+jnp and jit/shard_map compatible, f32-first for TPU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mpp_tpu.constants import PRESSURE_REF, GRAVITY_CONSTANT, FMWH2O, DENH2O
+from mpp_tpu.ops.tridiag import thomas
+
+
+class ColumnParams(NamedTuple):
+    """Per-level van Genuchten / Darcy parameters, broadcastable to
+    [ncol, nz]."""
+    vg_alpha: jnp.ndarray
+    vg_m: jnp.ndarray
+    sat_res: jnp.ndarray
+    perm: jnp.ndarray
+    por: jnp.ndarray
+    dz: jnp.ndarray
+    area: jnp.ndarray
+
+    @staticmethod
+    def uniform(nz, dtype=jnp.float32, alpha=3.4257e-4, m=0.5, sat_res=0.2772,
+                perm=8.3913e-12, por=0.368, depth=1.0):
+        dz = depth / nz
+        f = lambda v: jnp.asarray(v, dtype)
+        return ColumnParams(vg_alpha=f(alpha), vg_m=f(m), sat_res=f(sat_res),
+                            perm=f(perm), por=f(por), dz=f(dz), area=f(1.0))
+
+
+def vg_sat_kr(P, p: ColumnParams):
+    """Van Genuchten saturation + Mualem kr and d/dP (closed forms,
+    SaturationFunction.F90:747-857), plus constant-density water EOS.
+
+    Returns (sat, dsat, kr, dkr)."""
+    pc = P - PRESSURE_REF
+    n = 1.0 / (1.0 - p.vg_m)
+    m = p.vg_m
+    unsat = pc < 0.0
+    pcs = jnp.where(unsat, pc, -1.0)
+    pan = (-p.vg_alpha * pcs) ** n
+    one_p = 1.0 + pan
+    Se = one_p ** (-m)
+    AA = pan / one_p
+    dSe = -m * n * Se * AA / pcs
+    sat = jnp.where(unsat, p.sat_res + (1.0 - p.sat_res) * Se, 1.0)
+    dsat = jnp.where(unsat, (1.0 - p.sat_res) * dSe, 0.0)
+    BB = 1.0 - AA ** m
+    kr_u = jnp.sqrt(Se) * BB * BB
+    dkr_dSe = 0.5 * kr_u / Se + 2.0 * Se ** (1.0 / m - 0.5) * AA ** (m - 1.0) * BB
+    kr = jnp.where(unsat, kr_u, 1.0)
+    dkr = jnp.where(unsat, dkr_dSe * dSe, 0.0)
+    return sat, dsat, kr, dkr
+
+
+_VIS = 8.904156e-4
+_DEN = DENH2O / FMWH2O  # constant density [kmol/m^3]
+
+
+def _face_flux(P_up, P_dn, kr_up, kr_dn, dkr_up, dkr_dn, dz, perm, area):
+    """Vertical two-point Darcy flux between level k (up, lower z) and k+1
+    (dn, upper z); unit vector +z.  Returns (flux, dflux_dP_up, dflux_dP_dn)
+    — same math as models/richards.py darcy_flux with constant density."""
+    dist_gravity = dz * (-GRAVITY_CONSTANT)
+    den_ave = _DEN
+    dphi = P_up - P_dn + den_ave * FMWH2O * dist_gravity
+    Dq = perm / dz
+    up_wind = dphi >= 0.0
+    ukvr = jnp.where(up_wind, kr_up, kr_dn) / _VIS
+    dukvr_up = jnp.where(up_wind, dkr_up / _VIS, 0.0)
+    dukvr_dn = jnp.where(up_wind, 0.0, dkr_dn / _VIS)
+    q = -Dq * ukvr * dphi * area
+    flux = q * den_ave
+    dflux_up = -Dq * (dukvr_up * dphi + ukvr) * area * den_ave
+    dflux_dn = -Dq * (dukvr_dn * dphi - ukvr) * area * den_ave
+    return flux, dflux_up, dflux_dn
+
+
+def accumulation(P, p: ColumnParams, dt):
+    sat, dsat, _, _ = vg_sat_kr(P, p)
+    vol = p.area * p.dz
+    return p.por * _DEN * sat * vol / dt, p.por * _DEN * dsat * vol / dt
+
+
+def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams):
+    """F [ncol, nz] and tridiagonal Jacobian diagonals (dl, d, du)."""
+    sat, dsat, kr, dkr = vg_sat_kr(P, p)
+    acc, dacc = accumulation(P, p, dt)
+    F = acc - accum_prev
+    d = dacc
+    dl = jnp.zeros_like(P)
+    du = jnp.zeros_like(P)
+
+    # internal faces k <-> k+1
+    flux, dfu, dfd = _face_flux(P[..., :-1], P[..., 1:], kr[..., :-1],
+                                kr[..., 1:], dkr[..., :-1], dkr[..., 1:],
+                                p.dz, p.perm, p.area)
+    F = F.at[..., :-1].add(-flux).at[..., 1:].add(flux)
+    # F_k -= flux  -> dF_k/dP_k -= dfu ; dF_k/dP_{k+1} -= dfd
+    d = d.at[..., :-1].add(-dfu)
+    du = du.at[..., :-1].add(-dfd)
+    d = d.at[..., 1:].add(dfd)
+    dl = dl.at[..., 1:].add(dfu)
+
+    # Dirichlet boundaries: bottom face of level 0, top face of level nz-1.
+    # BC treatment per RichardsFlux: upweight=0, Dq = perm_cell/(dz/2),
+    # BC auxvar kr evaluated at the BC pressure.
+    def bc_flux(P_bc, P_cell, kr_cell, dkr_cell, unit_z):
+        sat_b, _, kr_b, _ = vg_sat_kr(P_bc, p)
+        dist_gravity = (p.dz / 2.0) * unit_z * (-GRAVITY_CONSTANT)
+        dphi = P_bc - P_cell + _DEN * FMWH2O * dist_gravity
+        Dq = p.perm / (p.dz / 2.0)
+        up_wind = dphi >= 0.0
+        ukvr = jnp.where(up_wind, kr_b, kr_cell) / _VIS
+        dukvr_dn = jnp.where(up_wind, 0.0, dkr_cell / _VIS)
+        q = -Dq * ukvr * dphi * p.area
+        flux = q * _DEN
+        dflux_dn = -Dq * (dukvr_dn * dphi - ukvr) * p.area * _DEN
+        return flux, dflux_dn
+
+    fb, dfb = bc_flux(bc_bot, P[..., 0], kr[..., 0], dkr[..., 0], +1.0)
+    F = F.at[..., 0].add(fb)
+    d = d.at[..., 0].add(dfb)
+    ft, dft = bc_flux(bc_top, P[..., -1], kr[..., -1], dkr[..., -1], -1.0)
+    F = F.at[..., -1].add(ft)
+    d = d.at[..., -1].add(dft)
+    return F, (dl, d, du)
+
+
+def newton_solve(P0, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
+                 rtol=1e-6, atol=1e-10, stol=1e-8, max_it=30):
+    """Masked batched Newton: every column iterates until its own
+    convergence; converged columns freeze (no wasted updates propagate).
+
+    Returns (P, iters, converged_mask)."""
+
+    F0, _ = residual_and_jac(P0, accum_prev, dt, bc_top, bc_bot, p)
+    fnorm0 = jnp.linalg.norm(F0, axis=-1)
+
+    def cond(state):
+        P, fnorm, it, done = state
+        return jnp.logical_and(it < max_it, ~jnp.all(done))
+
+    def body(state):
+        P, fnorm, it, done = state
+        F, (dl, d, du) = residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p)
+        dP = thomas(dl, d, du, F)
+        P_new = P - jnp.where(done[..., None], 0.0, dP)
+        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot, p)
+        fnorm_new = jnp.linalg.norm(F_new, axis=-1)
+        # simple backtracking: halve once if the residual grew badly
+        grew = fnorm_new > 2.0 * fnorm
+        P_half = P - jnp.where(done[..., None] | ~grew[..., None], 0.0,
+                               0.5 * dP)
+        P_new = jnp.where(grew[..., None], P_half, P_new)
+        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot, p)
+        fnorm_new = jnp.linalg.norm(F_new, axis=-1)
+        snorm = jnp.linalg.norm(dP, axis=-1)
+        xnorm = jnp.linalg.norm(P_new, axis=-1)
+        newly_done = ((fnorm_new <= rtol * fnorm0) | (fnorm_new < atol)
+                      | (snorm < stol * xnorm))
+        return (P_new, fnorm_new, it + 1, done | newly_done)
+
+    done0 = fnorm0 < atol
+    P, fnorm, iters, done = lax.while_loop(
+        cond, body, (P0, fnorm0, jnp.zeros((), jnp.int32), done0))
+    return P, iters, done
+
+
+def step_dt(P_prev, dt, bc_top, bc_bot, p: ColumnParams, **kw):
+    """One implicit timestep over all columns: accum at previous state,
+    batched Newton from the previous solution."""
+    acc_prev, _ = accumulation(P_prev, p, dt)
+    P, iters, done = newton_solve(P_prev, acc_prev, dt, bc_top, bc_bot, p, **kw)
+    return P, iters, done
