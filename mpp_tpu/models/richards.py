@@ -130,6 +130,87 @@ def darcy_flux(P_up, P_dn, kr_up, kr_dn, dkr_up, dkr_dn, den_up, den_dn,
     return flux, dflux_up, dflux_dn
 
 
+def conductance_krg(P_up, P_dn, sp_up: sf.SatParams, sp_dn: sf.SatParams,
+                    cond_type, conductance, cond_up, cond_dn, upwind_weight):
+    """Vectorized ``RichODEPressureConnAuxVarCompute``
+    (RichardsODEPressureConnAuxType.F90:185-299): per-connection effective
+    conductance krg and d(krg)/dP_up, dP_dn for the Campbell and Manoli
+    conductance models.  ``cond_type`` and the relperm-set masks are
+    static numpy."""
+    ones = jnp.ones_like(P_up)
+    kr_up_raw, dkr_up_raw = sf.press_to_relperm(sp_up, P_up, ones)
+    kr_dn_raw, dkr_dn_raw = sf.press_to_relperm(sp_dn, P_dn, ones)
+    up_set = sp_up.relperm_func_type != 0
+    dn_set = sp_dn.relperm_func_type != 0
+    # Campbell: upwind-weighted kr times a scalar conductance; a side with
+    # no relperm function contributes kr=1 via weight collapse
+    w_eff = np.where(up_set & dn_set, np.asarray(upwind_weight),
+                     np.where(up_set, 1.0, 0.0))
+    w_eff = jnp.asarray(w_eff)
+    kr = w_eff * kr_up_raw + (1.0 - w_eff) * kr_dn_raw
+    dkr_up = w_eff * dkr_up_raw
+    dkr_dn = (1.0 - w_eff) * dkr_dn_raw
+    krg_c = kr * conductance
+    dkrg_c_up = dkr_up * conductance
+    dkrg_c_dn = dkr_dn * conductance
+    # Manoli: series combination of the two sides
+    krg_up = kr_up_raw * cond_up
+    krg_dn = kr_dn_raw * cond_dn
+    denom = krg_up + krg_dn
+    denom = jnp.where(denom == 0, 1.0, denom)
+    krg_m = krg_up * krg_dn / denom
+    dkrg_m_up = (krg_dn / denom) ** 2.0 * dkr_up_raw * cond_up
+    dkrg_m_dn = (krg_up / denom) ** 2.0 * dkr_dn_raw * cond_dn
+    is_manoli = jnp.asarray(np.asarray(cond_type)
+                            == int(FluxType.CONDUCTANCE_MANOLI))
+    krg = jnp.where(is_manoli, krg_m, krg_c)
+    dkrg_up = jnp.where(is_manoli, dkrg_m_up, dkrg_c_up)
+    dkrg_dn = jnp.where(is_manoli, dkrg_m_dn, dkrg_c_dn)
+    return krg, dkrg_up, dkrg_dn
+
+
+def conductance_flux(P_up, P_dn, den_up, den_dn, dden_up, dden_dn,
+                     krg, dkrg_up, dkrg_dn, area):
+    """Vectorized ``RichardsFluxConductanceModel_Internal``
+    (RichardsMod.F90:746-856) with TRUE derivatives.
+
+    flux = -den_ave * krg * (P_up - P_dn) * area, upweight = 0.5."""
+    den_ave = 0.5 * den_up + 0.5 * den_dn
+    dphi = P_up - P_dn
+    flux = -den_ave * krg * dphi * area
+    dflux_up = -(0.5 * dden_up * krg * dphi + den_ave * dkrg_up * dphi
+                 + den_ave * krg) * area
+    dflux_dn = -(0.5 * dden_dn * krg * dphi + den_ave * dkrg_dn * dphi
+                 - den_ave * krg) * area
+    return flux, dflux_up, dflux_dn
+
+
+@dataclasses.dataclass
+class ConnAuxVars:
+    """SoA of ``rich_ode_pres_conn_auxvar_type`` static configuration."""
+    flux_type: np.ndarray        # DARCY / CONDUCTANCE
+    cond_type: np.ndarray        # CAMPBELL / MANOLI
+    conductance: np.ndarray
+    conductance_up: np.ndarray
+    conductance_dn: np.ndarray
+    upwind_weight: np.ndarray
+    sp_up: sf.SatParams
+    sp_dn: sf.SatParams
+
+    @staticmethod
+    def create(n: int) -> "ConnAuxVars":
+        return ConnAuxVars(
+            flux_type=np.full(n, int(FluxType.DARCY), np.int32),
+            cond_type=np.full(n, int(FluxType.CONDUCTANCE_CAMPBELL), np.int32),
+            conductance=np.zeros(n), conductance_up=np.zeros(n),
+            conductance_dn=np.zeros(n), upwind_weight=np.zeros(n),
+            sp_up=sf.SatParams.zeros(n), sp_dn=sf.SatParams.zeros(n))
+
+    @property
+    def any_conductance(self) -> bool:
+        return bool((self.flux_type == int(FluxType.CONDUCTANCE)).any())
+
+
 @dataclasses.dataclass
 class RichardsGE:
     """GE_RE: Richards equation over one mesh."""
@@ -144,7 +225,9 @@ class RichardsGE:
     sat_params: sf.SatParams = None
     por_params: PorosityParams = None
     perm: np.ndarray = None               # [n,3]
-    density_type: int = eos.DENSITY_TGDPB01
+    # auxvar-init default is DENSITY_CONSTANT (RichODEPressureAuxVarInit:120);
+    # problems that want TGDPB01/IFC67 set it via set_soils
+    density_type: int = eos.DENSITY_CONSTANT
     # BC/SS auxvar parameter copies (VSFMMPPSetSoilsCLM:422-471)
     bc_sat_params: sf.SatParams = None
     bc_por_params: PorosityParams = None
@@ -152,6 +235,9 @@ class RichardsGE:
     ss_sat_params: sf.SatParams = None
     ss_pot_sink_pressure: np.ndarray = None
     ss_pot_sink_exponent: np.ndarray = None
+    # connection auxvars (flux-model selection per connection)
+    conn_in: ConnAuxVars = None
+    conn_bc: ConnAuxVars = None
 
     # dynamic state
     temperature: jnp.ndarray = None
@@ -184,6 +270,8 @@ class RichardsGE:
         self.ss_pot_sink_exponent = np.zeros(nss)
         self.ss_value = jnp.zeros(nss)
         self.accum_prev = jnp.zeros(self.mesh.ncells_local)
+        self.conn_in = ConnAuxVars.create(self._internal().num_connections)
+        self.conn_bc = ConnAuxVars.create(nbc)
 
     # ---- static topology ---------------------------------------------------
     def _internal(self) -> ConnectionSet:
@@ -284,51 +372,94 @@ class RichardsGE:
         vol = jnp.asarray(self.mesh.vol)
         return por * den * sat * vol
 
-    def residual(self, P, dt):
-        """F (length ncells_local)."""
-        n = self.mesh.ncells_local
-        active = jnp.asarray(self.mesh.is_active)
-        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = self._cell_aux(P)
-        vol = jnp.asarray(self.mesh.vol)
-        F = jnp.where(active, por * den * sat * vol / dt, 0.0)
-        F = F - self.accum_prev
-
+    def _internal_fluxes(self, P, aux):
+        """(flux, dflux_up, dflux_dn) over internal connections, blending
+        Darcy and conductance flux models by the static per-conn type."""
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
         ic = self._internal()
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
-        both = active[iu] & active[idn]
         perm_up = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
                    + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
                    + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
         perm_dn = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
                    + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
                    + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
-        flux, _, _ = darcy_flux(
+        flux, dfu, dfd = darcy_flux(
             P[iu], P[idn], kr[iu], kr[idn], dkr[iu], dkr[idn], den[iu],
             den[idn], dden[iu], dden[idn], vis[iu], vis[idn], dvis[iu],
             dvis[idn], jnp.asarray(perm_up), jnp.asarray(perm_dn),
             jnp.asarray(ic.dist_up), jnp.asarray(ic.dist_dn),
             jnp.asarray(ic.area), jnp.asarray(ic.unit_vec[:, 2]),
             internal=True)
+        ca = self.conn_in
+        if ca is not None and ca.any_conductance:
+            krg, dkrg_up, dkrg_dn = conductance_krg(
+                P[iu], P[idn], ca.sp_up, ca.sp_dn, ca.cond_type,
+                jnp.asarray(ca.conductance), jnp.asarray(ca.conductance_up),
+                jnp.asarray(ca.conductance_dn), ca.upwind_weight)
+            cflux, cdfu, cdfd = conductance_flux(
+                P[iu], P[idn], den[iu], den[idn], dden[iu], dden[idn],
+                krg, dkrg_up, dkrg_dn, jnp.asarray(ic.area))
+            is_cond = jnp.asarray(ca.flux_type == int(FluxType.CONDUCTANCE))
+            flux = jnp.where(is_cond, cflux, flux)
+            dfu = jnp.where(is_cond, cdfu, dfu)
+            dfd = jnp.where(is_cond, cdfd, dfd)
+        return ic, flux, dfu, dfd
+
+    def _bc_fluxes(self, P, aux):
+        """(bc cell ids, flux, dflux_dn) over BC connections."""
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
+        bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
+        if not bc_ids.size:
+            return bc_ids, jnp.zeros(0), jnp.zeros(0)
+        bids = jnp.asarray(bc_ids)
+        P_bc = self._bc_aux_pressure(P)
+        (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
+         por_b, dpor_b) = richards_aux(
+            P_bc, self.bc_sat_params, self.bc_por_params,
+            self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
+        perm_b, perm_cell = self._bc_perms()
+        seep = bcode == int(Cond.SEEPAGE_BC)
+        flux, _dfu, dfd = darcy_flux(
+            P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
+            den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
+            dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
+            jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
+            jnp.asarray(buvz), internal=False, cond_kind=bcode,
+            seepage_mask=seep)
+        ca = self.conn_bc
+        if ca is not None and ca.any_conductance:
+            krg, dkrg_up, dkrg_dn = conductance_krg(
+                P_bc, P[bids], ca.sp_up, ca.sp_dn, ca.cond_type,
+                jnp.asarray(ca.conductance), jnp.asarray(ca.conductance_up),
+                jnp.asarray(ca.conductance_dn), ca.upwind_weight)
+            cflux, _cdfu, cdfd = conductance_flux(
+                P_bc, P[bids], den_b, den[bids], dden_b, dden[bids],
+                krg, dkrg_up, dkrg_dn, jnp.asarray(barea))
+            is_cond = jnp.asarray(ca.flux_type == int(FluxType.CONDUCTANCE))
+            flux = jnp.where(is_cond, cflux, flux)
+            dfd = jnp.where(is_cond, cdfd, dfd)
+        return bc_ids, flux, dfd
+
+    def residual(self, P, dt):
+        """F (length ncells_local)."""
+        n = self.mesh.ncells_local
+        active = jnp.asarray(self.mesh.is_active)
+        aux = self._cell_aux(P)
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
+        vol = jnp.asarray(self.mesh.vol)
+        F = jnp.where(active, por * den * sat * vol / dt, 0.0)
+        F = F - self.accum_prev
+
+        ic, flux, _, _ = self._internal_fluxes(P, aux)
+        iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
+        both = active[iu] & active[idn]
         flux = jnp.where(both, flux, 0.0)
         F = F.at[iu].add(-flux).at[idn].add(flux)
 
-        bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
+        bc_ids, flux_b, _ = self._bc_fluxes(P, aux)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
-            P_bc = self._bc_aux_pressure(P)
-            (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
-             por_b, dpor_b) = richards_aux(
-                P_bc, self.bc_sat_params, self.bc_por_params,
-                self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
-            perm_b, perm_cell = self._bc_perms()
-            seep = bcode == int(Cond.SEEPAGE_BC)
-            flux_b, _, _ = darcy_flux(
-                P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
-                den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
-                dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
-                jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
-                jnp.asarray(buvz), internal=False, cond_kind=bcode,
-                seepage_mask=seep)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
             F = F.at[bids].add(flux_b)
 
@@ -358,47 +489,21 @@ class RichardsGE:
         """A-contribution values in coo_coords order."""
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
-        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = self._cell_aux(P)
+        aux = self._cell_aux(P)
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
         vol = jnp.asarray(self.mesh.vol)
 
-        ic = self._internal()
+        ic, _, dfu, dfd = self._internal_fluxes(P, aux)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
-        perm_up = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
-                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
-                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
-        perm_dn = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
-                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
-                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
-        _, dfu, dfd = darcy_flux(
-            P[iu], P[idn], kr[iu], kr[idn], dkr[iu], dkr[idn], den[iu],
-            den[idn], dden[iu], dden[idn], vis[iu], vis[idn], dvis[iu],
-            dvis[idn], jnp.asarray(perm_up), jnp.asarray(perm_dn),
-            jnp.asarray(ic.dist_up), jnp.asarray(ic.dist_dn),
-            jnp.asarray(ic.area), jnp.asarray(ic.unit_vec[:, 2]),
-            internal=True)
         dfu = jnp.where(both, dfu, 0.0)
         dfd = jnp.where(both, dfd, 0.0)
         # F_up -= flux ; F_dn += flux
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
-        bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
+        bc_ids, _, dfd_b = self._bc_fluxes(P, aux)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
-            P_bc = self._bc_aux_pressure(P)
-            (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
-             por_b, dpor_b) = richards_aux(
-                P_bc, self.bc_sat_params, self.bc_por_params,
-                self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
-            perm_b, perm_cell = self._bc_perms()
-            seep = bcode == int(Cond.SEEPAGE_BC)
-            _, _, dfd_b = darcy_flux(
-                P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
-                den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
-                dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
-                jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
-                jnp.asarray(buvz), internal=False, cond_kind=bcode,
-                seepage_mask=seep)
             # F_cell += flux  -> J[c,c] += dflux_dP_dn
             bc_vals = jnp.where(active[bids], dfd_b, 0.0)
         else:
@@ -465,6 +570,113 @@ class RichardsGE:
                 else:
                     raise ValueError(f"Unknown satfunc {satfunc_type}")
         self._copy_params_to_bc_ss()
+
+    def set_soil_porosity(self, por):
+        """RichardsODEPressureAuxVarSetPorosity incl. BC/SS copies
+        (RichardsODEPressureAuxMod.F90:286-377)."""
+        self.por_params.porosity_base[:self.mesh.ncells_all] = por
+        bc_ids = self._bc_concat()[0]
+        self.bc_por_params.porosity_base[:] = self.por_params.porosity_base[bc_ids]
+
+    def set_saturation_function(self, satfunc_type, alpha, lam, sat_res):
+        """RichardsODEPressureAuxVarSetSatFunc + SetSatFunc dispatch
+        (SaturationFunction.F90:1392-1428), with BC/SS auxvar copies."""
+        for icell in range(len(np.asarray(alpha))):
+            t = int(np.asarray(satfunc_type)[icell]) \
+                if np.ndim(satfunc_type) else int(satfunc_type)
+            a, l_, s = (float(np.asarray(alpha)[icell]),
+                        float(np.asarray(lam)[icell]),
+                        float(np.asarray(sat_res)[icell]))
+            if t == sf.SAT_FUNC_BROOKS_COREY:
+                self.sat_params.set_bc(icell, s, a, l_)
+            elif t == sf.SAT_FUNC_SMOOTHED_BROOKS_COREY_BZ2:
+                self.sat_params.set_sbc_bz2(icell, s, a, l_, -0.9 / a)
+            elif t == sf.SAT_FUNC_SMOOTHED_BROOKS_COREY_BZ3:
+                self.sat_params.set_sbc_bz3(icell, s, a, l_, -0.9 / a)
+            elif t == sf.SAT_FUNC_VAN_GENUCHTEN:
+                self.sat_params.set_vg(icell, s, a, l_)
+            elif t == sf.SAT_FUNC_FETCH2:
+                self.sat_params.set_fetch2(icell, a, l_)
+            elif t == sf.SAT_FUNC_CHUANG:
+                self.sat_params.set_chuang(icell, a, l_)
+            else:
+                raise ValueError(f"Unknown satfunc type {t}")
+        self._copy_params_to_bc_ss()
+
+    def set_ss_auxvar(self, var_type, values):
+        """VSFMMPPSetSourceSinkAuxVarRealValue
+        (MultiPhysicsProbVSFM.F90:1437-1520)."""
+        if var_type == Var.POT_MASS_SINK_PRESSURE:
+            self.ss_pot_sink_pressure[:] = values
+        elif var_type == Var.POT_MASS_SINK_EXPONENT:
+            self.ss_pot_sink_exponent[:] = values
+        else:
+            raise NotImplementedError(var_type)
+
+    def _conn_aux(self, kind) -> ConnAuxVars:
+        return self.conn_in if kind == AuxVarKind.CONN_INTERNAL else self.conn_bc
+
+    def set_conn_int_value(self, kind, var_type, values):
+        """VSFMMPPSetAuxVarConnIntValue."""
+        ca = self._conn_aux(kind)
+        if var_type == Var.FLUX_TYPE:
+            ca.flux_type[:] = values
+        elif var_type == Var.CONDUCTANCE_TYPE:
+            vals = np.asarray(values)
+            ca.cond_type[:] = np.where(vals == 0, ca.cond_type, vals)
+        else:
+            raise NotImplementedError(var_type)
+
+    def set_conn_real_value(self, kind, var_type, values):
+        """VSFMMPPSetAuxVarConnRealValue."""
+        ca = self._conn_aux(kind)
+        if var_type == Var.CONDUCTANCE:
+            ca.conductance[:] = values
+        elif var_type == Var.CONDUCTANCE_UP:
+            ca.conductance_up[:] = values
+        elif var_type == Var.CONDUCTANCE_DN:
+            ca.conductance_dn[:] = values
+        else:
+            raise NotImplementedError(var_type)
+
+    def set_conn_relperm(self, kind, set_upwind, relperm_itype, p1, p2):
+        """RichardsODESetRelativePermeabilityAuxVarConn
+        (GoveqnRichardsODEPressureType.F90:3318-3424)."""
+        ca = self._conn_aux(kind)
+        relperm_itype = np.asarray(relperm_itype)
+        for i in range(relperm_itype.size):
+            if relperm_itype[i] <= 0:
+                continue
+            sp = ca.sp_up if set_upwind[i] else ca.sp_dn
+            t = int(relperm_itype[i])
+            if t == sf.RELPERM_FUNC_WEIBULL:
+                sp.set_weibull_relperm(i, p1[i], p2[i])
+            elif t == sf.RELPERM_FUNC_CAMPBELL:
+                sp.set_campbell_relperm(i, p1[i], p2[i])
+            elif t == sf.RELPERM_FUNC_MUALEM:
+                pass
+            else:
+                raise ValueError(t)
+
+    def set_conn_satfunc(self, kind, set_upwind, satfunc_itype, p1, p2, p3):
+        """RichardsODESetSaturationFunctionAuxVarConn."""
+        ca = self._conn_aux(kind)
+        satfunc_itype = np.asarray(satfunc_itype)
+        for i in range(satfunc_itype.size):
+            if satfunc_itype[i] <= 0:
+                continue
+            sp = ca.sp_up if set_upwind[i] else ca.sp_dn
+            t = int(satfunc_itype[i])
+            if t == sf.SAT_FUNC_VAN_GENUCHTEN:
+                sp.set_vg(i, p3[i], p1[i], p2[i])
+            elif t == sf.SAT_FUNC_BROOKS_COREY:
+                sp.set_bc(i, p3[i], p1[i], p2[i])
+            elif t == sf.SAT_FUNC_FETCH2:
+                sp.set_fetch2(i, p1[i], p2[i])
+            elif t == sf.SAT_FUNC_CHUANG:
+                sp.set_chuang(i, p1[i], p2[i])
+            else:
+                raise ValueError(t)
 
     def _copy_params_to_bc_ss(self):
         """BC/SS auxvars inherit the adjacent cell's parameters
@@ -662,6 +874,35 @@ class VSFMMPP:
         self.soe.goveqns[goveqn_id - 1].set_soils(
             filter_vsfmc, watsat, hksat, bsw, sucsat, residual_sat,
             satfunc_type, density_type)
+
+    # per-GE property setters (VSFMMPPSet* pass-throughs) ------------------
+    def set_soil_porosity(self, igoveqn, por):
+        self.soe.goveqns[igoveqn - 1].set_soil_porosity(por)
+
+    def set_saturation_function(self, igoveqn, satfunc_type, alpha, lam,
+                                sat_res):
+        self.soe.goveqns[igoveqn - 1].set_saturation_function(
+            satfunc_type, alpha, lam, sat_res)
+
+    def set_ss_auxvar(self, igoveqn, var_type, values):
+        self.soe.goveqns[igoveqn - 1].set_ss_auxvar(var_type, values)
+
+    def set_conn_int_value(self, igoveqn, kind, var_type, values):
+        self.soe.goveqns[igoveqn - 1].set_conn_int_value(kind, var_type, values)
+
+    def set_conn_real_value(self, igoveqn, kind, var_type, values):
+        self.soe.goveqns[igoveqn - 1].set_conn_real_value(kind, var_type,
+                                                          values)
+
+    def set_conn_relperm(self, igoveqn, kind, set_upwind, relperm_itype,
+                         p1, p2):
+        self.soe.goveqns[igoveqn - 1].set_conn_relperm(
+            kind, set_upwind, relperm_itype, p1, p2)
+
+    def set_conn_satfunc(self, igoveqn, kind, set_upwind, satfunc_itype,
+                         p1, p2, p3):
+        self.soe.goveqns[igoveqn - 1].set_conn_satfunc(
+            kind, set_upwind, satfunc_itype, p1, p2, p3)
 
     def restart(self, press_1d):
         """VSFMMPPRestart: seed soln/soln_prev/pressure_prev."""

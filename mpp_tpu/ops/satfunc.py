@@ -380,6 +380,7 @@ def pc_to_relperm_campbell(params: SatParams, pc):
 # --- gateway dispatchers (SaturationFunction.F90:564-650,708-743) -----------
 
 _SAT_DISPATCH = {
+    0: lambda p_, pc_: (jnp.ones_like(pc_), jnp.zeros_like(pc_)),
     SAT_FUNC_VAN_GENUCHTEN: pc_to_sat_vg,
     SAT_FUNC_BROOKS_COREY: pc_to_sat_bc,
     SAT_FUNC_SMOOTHED_BROOKS_COREY: pc_to_sat_sbc,
@@ -442,6 +443,7 @@ def press_to_relperm(params: SatParams, press, frac_liq):
     keys = np.where(rp_types == RELPERM_FUNC_MUALEM, sf_types, rp_types)
 
     table = {
+        0: lambda p_, pc_: (jnp.ones_like(pc_), jnp.zeros_like(pc_)),
         SAT_FUNC_VAN_GENUCHTEN: lambda p_, pc_: pc_to_relperm_vg(p_, pc_),
         SAT_FUNC_BROOKS_COREY: lambda p_, pc_: pc_to_relperm_bc(p_, pc_, frac_liq),
         SAT_FUNC_SMOOTHED_BROOKS_COREY: lambda p_, pc_: pc_to_relperm_sbc(p_, pc_),
