@@ -571,6 +571,16 @@ class RichardsGE:
                     raise ValueError(f"Unknown satfunc {satfunc_type}")
         self._copy_params_to_bc_ss()
 
+    def set_soil_permeability(self, perm_x, perm_y, perm_z):
+        """RichardsODESetSoilPermeability incl. BC/SS auxvar copies
+        (GoveqnRichardsODEPressureType.F90:3087-3113,
+        RichardsODEPressureAuxMod.F90:108-194)."""
+        n = len(np.asarray(perm_x))
+        self.perm[:n, 0] = perm_x
+        self.perm[:n, 1] = perm_y
+        self.perm[:n, 2] = perm_z
+        self.bc_perm[:] = self.perm[self._bc_concat()[0]]
+
     def set_soil_porosity(self, por):
         """RichardsODEPressureAuxVarSetPorosity incl. BC/SS copies
         (RichardsODEPressureAuxMod.F90:286-377)."""

@@ -288,3 +288,101 @@ def internal_energy_and_enthalpy(p, t_K, itype, den, dden_dT, dden_dP):
         dU_dP = dH_dP - 1.0 / den_mol + p / (den_mol ** 2.0) * (dden_dP / FMWH2O)
         return U, H, dU_dT, dH_dT, dU_dP, dH_dP
     raise ValueError(f"Unknown internal-energy itype {itype}")
+
+
+def _powi(x, n: int):
+    """Integer power by right-to-left binary squaring, replicating
+    gfortran's ``_gfortran_pow_r8_i4`` / libgcc ``__powidf2`` rounding
+    sequence (needed for bitwise parity with the reference in
+    finite-difference-sensitive paths)."""
+    import numpy as _np
+    u = abs(int(n))
+    a = _np.array(x, dtype=_np.float64, copy=True)
+    out = _np.ones_like(a)
+    while True:
+        if u & 1:
+            out = out * a
+        u >>= 1
+        if not u:
+            break
+        a = a * a
+    if n < 0:
+        return 1.0 / out
+    return out
+
+
+def enthalpy_ifc67_np(t_C, p):
+    """Value-only numpy twin of :func:`enthalpy_ifc67` with gfortran/glibc
+    rounding semantics (EOSWaterMod.F90:347-565).
+
+    Real exponents use libm ``pow`` (correctly rounded, matching gfortran);
+    the term2 loop's integer exponents use :func:`_powi`.  Needed because
+    the reference's MMS drivers central-difference the enthalpy with
+    pert=1e-6 (th_mms_problem.F90:1404-1418), amplifying the ~1e-5
+    cancellation-level rounding noise of the IFC67 polynomial by 5e5 —
+    regression parity requires bitwise-identical H at the perturbed points.
+    """
+    import numpy as np
+    aa = np.array(_AA)
+    t_C = np.asarray(t_C, np.float64)
+    p = np.asarray(p, np.float64)
+    tc1 = H2O_CRITICAL_TEMPERATURE
+    pc1 = H2O_CRITICAL_PRESSURE
+    vc1 = 0.00317
+    utc1 = 1.0 / tc1
+    upc1 = 1.0 / pc1
+    vc1mol = vc1 * FMWH2O
+
+    theta = (t_C + 273.15) * utc1
+    theta2x = theta * theta
+    theta18 = theta ** 18.0
+    theta20 = theta18 * theta2x
+    beta = p * upc1
+    beta2x = beta * beta
+    beta4 = beta2x * beta2x
+
+    yy = 1.0 - _A1 * theta2x - _A2 * theta ** (-6.0)
+    xx = _A3 * yy * yy - 2.0 * (_A4 * theta - _A5 * beta)
+    xx = np.sqrt(xx)
+    zz = yy + xx
+    u0 = -5.0 / 17.0
+    u1 = aa[11] * _A5 * zz ** u0
+    ypt = 6.0 * _A2 * theta ** (-7.0) - 2.0 * _A1 * theta
+
+    term1 = aa[0] * theta
+    term2 = np.full_like(theta, -aa[1])
+    for i in range(3, 11):
+        term2 = term2 + float(i - 2) * aa[i] * _powi(theta, i - 1)
+
+    v0_1 = u1 / _A5
+    v2_1 = 17.0 * (zz / 29.0 - yy / 12.0) + 5.0 * theta * ypt / 12.0
+    v3_1 = _A4 * theta - (_A3 - 1.0) * theta * yy * ypt
+    v1_1 = zz * v2_1 + v3_1
+    term3 = v0_1 * v1_1
+
+    v1_2 = 9.0 * theta + _A6
+    v20_2 = _A6 - theta
+    v2_2 = v20_2 ** 9.0
+    v3_2 = _A7 + 20.0 * theta ** 19.0
+    v40_2 = _A7 + theta ** 19.0
+    v4_2 = 1.0 / (v40_2 * v40_2)
+    term4p = aa[12] - aa[14] * theta2x + aa[15] * v1_2 * v2_2 + aa[16] * v3_2 * v4_2
+    term4 = term4p * beta
+
+    v1_3 = beta * (aa[17] + aa[18] * beta + aa[19] * beta2x)
+    v2_3 = 12.0 * theta ** 11.0 + _A8
+    v4_3 = 1.0 / (_A8 + theta ** 11.0)
+    v3_3 = v4_3 * v4_3
+    term5 = v1_3 * v2_3 * v3_3
+
+    v1_4 = (_A10 + beta) ** (-3.0) + _A11 * beta
+    v3_4 = 17.0 * _A9 + 19.0 * theta2x
+    v2_4 = aa[20] * theta18 * v3_4
+    term6 = v1_4 * v2_4
+
+    v1_5 = 21.0 * aa[22] / theta20 * beta4
+    v2_5 = aa[21] * _A12 * beta2x * beta
+    term7 = v1_5 + v2_5
+
+    v1_6 = pc1 * vc1mol
+    return (term1 - term2 + term3 + term4 - term5 + term6 + term7) * v1_6
