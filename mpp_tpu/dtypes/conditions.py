@@ -30,6 +30,10 @@ class Condition:
     rank_of_other_goveqs: List[int] = dataclasses.field(default_factory=list)
     itype_of_other_goveqs: List[int] = dataclasses.field(default_factory=list)
     is_the_other_GE_coupled_via_int_auxvars: bool = False
+    # Cells of the partner GE on the far side of each coupled-BC connection
+    # (wired by VSFMMPP.update_connections, the VSFMSOEUpdateConnections
+    # analog)
+    coupled_cells: Optional[np.ndarray] = None
 
     @property
     def num_connections(self) -> int:

@@ -148,6 +148,11 @@ def internal_connections(nx, ny, nz, dx, dy, dz, idir) -> ConnectionSet:
 
 
 def concat_connection_sets(sets: List[ConnectionSet]) -> ConnectionSet:
+    if not sets:
+        z = np.zeros(0)
+        return ConnectionSet(z.astype(np.int32), z.astype(np.int32),
+                             z, z, z, z.astype(np.int32),
+                             unit_vec=np.zeros((0, 3)))
     uv = None
     if all(s.unit_vec is not None for s in sets):
         uv = np.concatenate([s.unit_vec for s in sets])

@@ -358,13 +358,48 @@ class RichardsGE:
 
     def _bc_aux_pressure(self, P):
         """UpdateAuxVarsBC: Dirichlet/seepage take the condition value;
-        mass rate/flux mirror the internal cell
-        (GoveqnRichardsODEPressureType.F90:1508-1550)."""
+        mass rate/flux mirror the internal cell; coupled BCs take the
+        other GE's pressure, staged into ``bc_value`` by the SoE exchange
+        (GoveqnRichardsODEPressureType.F90:1508-1550,
+        SystemOfEquationsVSFMType.F90:1117-1168)."""
         bc_ids, _, _, _, _, code = self._bc_concat()
         takes_value = np.isin(code, (int(Cond.DIRICHLET),
-                                     int(Cond.SEEPAGE_BC)))
+                                     int(Cond.SEEPAGE_BC),
+                                     int(Cond.DIRICHLET_FRM_OTR_GOVEQ)))
         return jnp.where(jnp.asarray(takes_value), self.bc_value,
                          P[jnp.asarray(bc_ids)])
+
+    def _bc_swap_mask(self):
+        """Per-BC-connection swap_order flags (set by the coupling rewiring,
+        SystemOfEquationsVSFMType.F90:1349-1354)."""
+        out = []
+        for cond in self.boundary_conditions:
+            out.append(np.full(cond.num_connections, bool(cond.swap_order)))
+        return np.concatenate(out) if out else np.zeros(0, bool)
+
+    def coupled_bc_slices(self):
+        """[(cond, bc_offset, other_geq_index_0based, coupled_cells)] for
+        COND_DIRICHLET_FRM_OTR_GOVEQ conditions."""
+        out = []
+        off = 0
+        for cond in self.boundary_conditions:
+            if cond.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ):
+                out.append((cond, off, cond.rank_of_other_goveqs[0] - 1,
+                            np.asarray(cond.coupled_cells, np.int64)))
+            off += cond.num_connections
+        return out
+
+    def coupling_coords(self, row_off, col_offs):
+        """Off-diagonal Jacobian coordinates for coupled BCs
+        (OffDiagJacobian_Pressure, GoveqnRichardsODEPressureType.F90:
+        2203-2330): row = own cell, col = coupled GE's cell."""
+        rows, cols = [], []
+        for cond, off, other, cells in self.coupled_bc_slices():
+            rows.append(cond.conn_set.id_dn.astype(np.int64) + row_off)
+            cols.append(cells + col_offs[other])
+        if not rows:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(rows), np.concatenate(cols)
 
     def accum(self, P):
         """por*den*sat*vol/dt — without dt: caller divides."""
@@ -407,11 +442,19 @@ class RichardsGE:
         return ic, flux, dfu, dfd
 
     def _bc_fluxes(self, P, aux):
-        """(bc cell ids, flux, dflux_dn) over BC connections."""
+        """(bc cell ids, flux, dflux_dn, dflux_up) over BC connections.
+
+        ``swap_order`` connections (coupled-GE BCs on the higher-rank side)
+        reproduce the reference's argument swap in
+        ``RichardsFluxConductanceModel`` (RichardsMod.F90:707-742): the flux
+        value is unchanged (symmetric 0.5/0.5 density average) but the
+        conn-auxvar kr-derivative sides exchange roles, so the own-cell
+        (diag) entry carries dkrg_dP_up and the coupled-cell (off-diag)
+        entry carries dkrg_dP_dn."""
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
         bc_ids, bdup, bddn, barea, buvz, bcode = self._bc_concat()
         if not bc_ids.size:
-            return bc_ids, jnp.zeros(0), jnp.zeros(0)
+            return bc_ids, jnp.zeros(0), jnp.zeros(0), jnp.zeros(0)
         bids = jnp.asarray(bc_ids)
         P_bc = self._bc_aux_pressure(P)
         (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
@@ -427,19 +470,24 @@ class RichardsGE:
             jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
             jnp.asarray(buvz), internal=False, cond_kind=bcode,
             seepage_mask=seep)
+        dfu = jnp.zeros_like(flux)
         ca = self.conn_bc
         if ca is not None and ca.any_conductance:
             krg, dkrg_up, dkrg_dn = conductance_krg(
                 P_bc, P[bids], ca.sp_up, ca.sp_dn, ca.cond_type,
                 jnp.asarray(ca.conductance), jnp.asarray(ca.conductance_up),
                 jnp.asarray(ca.conductance_dn), ca.upwind_weight)
-            cflux, _cdfu, cdfd = conductance_flux(
+            swap = jnp.asarray(self._bc_swap_mask())
+            dkrg_up_eff = jnp.where(swap, dkrg_dn, dkrg_up)
+            dkrg_dn_eff = jnp.where(swap, dkrg_up, dkrg_dn)
+            cflux, cdfu, cdfd = conductance_flux(
                 P_bc, P[bids], den_b, den[bids], dden_b, dden[bids],
-                krg, dkrg_up, dkrg_dn, jnp.asarray(barea))
+                krg, dkrg_up_eff, dkrg_dn_eff, jnp.asarray(barea))
             is_cond = jnp.asarray(ca.flux_type == int(FluxType.CONDUCTANCE))
             flux = jnp.where(is_cond, cflux, flux)
             dfd = jnp.where(is_cond, cdfd, dfd)
-        return bc_ids, flux, dfd
+            dfu = jnp.where(is_cond, cdfu, dfu)
+        return bc_ids, flux, dfd, dfu
 
     def residual(self, P, dt):
         """F (length ncells_local)."""
@@ -457,7 +505,7 @@ class RichardsGE:
         flux = jnp.where(both, flux, 0.0)
         F = F.at[iu].add(-flux).at[idn].add(flux)
 
-        bc_ids, flux_b, _ = self._bc_fluxes(P, aux)
+        bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
@@ -501,13 +549,19 @@ class RichardsGE:
         # F_up -= flux ; F_dn += flux
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
-        bc_ids, _, dfd_b = self._bc_fluxes(P, aux)
+        bc_ids, _, dfd_b, dfu_b = self._bc_fluxes(P, aux)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             # F_cell += flux  -> J[c,c] += dflux_dP_dn
             bc_vals = jnp.where(active[bids], dfd_b, 0.0)
         else:
             bc_vals = jnp.zeros(0)
+        # off-diagonal coupling tail: J[c, other] += dflux_dP_up for
+        # COND_DIRICHLET_FRM_OTR_GOVEQ conns (order matches coupling_coords)
+        cpl_tails = []
+        for cond, off, other, cells in self.coupled_bc_slices():
+            m = cond.num_connections
+            cpl_tails.append(dfu_b[off:off + m])
 
         ss_ids, ss_code = self._ss_concat()
         if ss_ids.size:
@@ -536,7 +590,8 @@ class RichardsGE:
         accum_deriv = ((dpor * den * sat + por * dden * sat
                         + por * den * dsat) * vol / dt)[:n]
         diag_vals = jnp.where(active[:n], accum_deriv, 1.0)
-        return jnp.concatenate([intr_vals, bc_vals, ss_vals, diag_vals])
+        return jnp.concatenate([intr_vals, bc_vals, ss_vals, diag_vals]
+                               + cpl_tails)
 
     # ---- staging (VSFMMPPSetSoilsCLM) -------------------------------------
     def set_soils(self, filter_vsfmc, watsat, hksat, bsw, sucsat,
@@ -735,28 +790,54 @@ class VSFMSoE:
     def setup(self):
         offs = np.cumsum([0] + [g.mesh.ncells_local for g in self.goveqns])
         self.offsets = offs
+        n = self.n_total
+        # The CSR template is built lazily: coupled-BC sparsity needs the
+        # pairing done by update_connections(), which the builder contract
+        # runs after SetupProblem (vsfm_spac_campbell_problem.F90:166-180).
+        self.template = None
+        self.soln = jnp.zeros(n)
+        self.soln_prev = jnp.zeros(n)
+        self.soln_prev_clm = jnp.zeros(n)
+
+    def _ensure_template(self):
+        if self.template is not None:
+            return
+        offs = self.offsets
         rows, cols = [], []
         for g, off in zip(self.goveqns, offs[:-1]):
             r, c = g.coo_coords(off, off)
             rows.append(r)
             cols.append(c)
+            rc, cc = g.coupling_coords(off, offs[:-1])
+            rows.append(rc)
+            cols.append(cc)
         n = self.n_total
         self.template = csr_template(n, n, np.concatenate(rows),
                                      np.concatenate(cols))
-        self.soln = jnp.zeros(n)
-        self.soln_prev = jnp.zeros(n)
-        self.soln_prev_clm = jnp.zeros(n)
 
     # SNES callbacks ---------------------------------------------------------
+    def _stage_coupled_bcs(self, Xj) -> None:
+        """VSFMSOEGovEqnExchangeAuxVars (SystemOfEquationsVSFMType.F90:
+        1117-1168): stage the coupled GE's pressures into the coupled-BC
+        value slots before each residual/Jacobian evaluation."""
+        for g in self.goveqns:
+            for cond, off, other, cells in g.coupled_bc_slices():
+                src = self.offsets[other] + cells
+                g.bc_value = g.bc_value.at[off:off + cells.size].set(
+                    Xj[jnp.asarray(src)])
+
     def _residual(self, X: np.ndarray, dt: float) -> np.ndarray:
         Xj = jnp.asarray(X)
+        self._stage_coupled_bcs(Xj)
         Fs = []
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             Fs.append(g.residual(Xj[off:off + g.mesh.ncells_local], dt))
         return np.asarray(jnp.concatenate(Fs))
 
     def _jacobian(self, X: np.ndarray, dt: float):
+        self._ensure_template()
         Xj = jnp.asarray(X)
+        self._stage_coupled_bcs(Xj)
         vals = []
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             vals.append(g.jacobian_values(Xj[off:off + g.mesh.ncells_local],
@@ -869,6 +950,88 @@ class VSFMMPP:
         else:
             ge.boundary_conditions.append(cond)
         return cond
+
+    def add_coupling_bcs_in_goveqn(self, ieqn, name, unit, id_of_other_goveqs,
+                                   conn_set):
+        """SOEBaseAddCouplingBCsInGovEqn (SystemOfEquationsBaseType.F90:
+        1203-1257): a COND_DIRICHLET_FRM_OTR_GOVEQ boundary condition whose
+        'up' side lives in another governing equation."""
+        ge = self.soe.goveqns[ieqn - 1]
+        cond = Condition(name=name, units=unit,
+                         itype=int(Cond.DIRICHLET_FRM_OTR_GOVEQ),
+                         conn_set=conn_set,
+                         rank_of_other_goveqs=list(id_of_other_goveqs))
+        cond.ensure_value()
+        cond.coupled_cells = None
+        ge.boundary_conditions.append(cond)
+        return cond
+
+    def update_connections(self):
+        """VSFMSOEUpdateConnections (SystemOfEquationsVSFMType.F90:
+        1174-1468): pair coupled BCs between GE pairs, rewire each BC
+        connection's 'up' side to the partner GE's cell, set swap_order on
+        the higher-rank GE's condition, and exchange the BC-side cell
+        parameters and conn-auxvar up-side relperm/conductance."""
+        import dataclasses as _dc
+        ges = self.soe.goveqns
+
+        def _bc_offset(ge, cond):
+            off = 0
+            for c in ge.boundary_conditions:
+                if c is cond:
+                    return off
+                off += c.num_connections
+            raise KeyError(cond)
+
+        for i in range(len(ges)):
+            for j in range(i + 1, len(ges)):
+                conds_i = [c for c in ges[i].boundary_conditions
+                           if c.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
+                           and (j + 1) in c.rank_of_other_goveqs]
+                conds_j = [c for c in ges[j].boundary_conditions
+                           if c.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
+                           and (i + 1) in c.rank_of_other_goveqs]
+                for ci, cj in zip(conds_i, conds_j):
+                    if ci.num_connections != cj.num_connections:
+                        raise ValueError("coupled BC size mismatch")
+                    cj.swap_order = True     # higher rank swaps (F90:1350-54)
+                    ci.coupled_cells = cj.conn_set.id_dn.copy()
+                    cj.coupled_cells = ci.conn_set.id_dn.copy()
+                    # dist_up of one = dist_dn of the other (F90:1408-1412)
+                    ci.conn_set.dist_up = cj.conn_set.dist_dn.copy()
+                    cj.conn_set.dist_up = ci.conn_set.dist_dn.copy()
+                    oi = _bc_offset(ges[i], ci)
+                    oj = _bc_offset(ges[j], cj)
+                    m = ci.num_connections
+                    # swap BC cell-side auxvar parameters (F90:1420-1424):
+                    # each side's BC auxvar carries the partner cell's
+                    # constitutive parameters
+                    for fld in _dc.fields(sf.SatParams):
+                        a = getattr(ges[i].bc_sat_params, fld.name)
+                        b = getattr(ges[j].bc_sat_params, fld.name)
+                        tmp = a[oi:oi + m].copy()
+                        a[oi:oi + m] = b[oj:oj + m]
+                        b[oj:oj + m] = tmp
+                    a = ges[i].bc_por_params.porosity_base
+                    b = ges[j].bc_por_params.porosity_base
+                    tmp = a[oi:oi + m].copy()
+                    a[oi:oi + m] = b[oj:oj + m]
+                    b[oj:oj + m] = tmp
+                    tmp = ges[i].bc_perm[oi:oi + m].copy()
+                    ges[i].bc_perm[oi:oi + m] = ges[j].bc_perm[oj:oj + m]
+                    ges[j].bc_perm[oj:oj + m] = tmp
+                    # conn auxvars: up-side relperm params and conductance
+                    # come from the partner's dn side (F90:1446-1457)
+                    ca_i, ca_j = ges[i].conn_bc, ges[j].conn_bc
+                    for fld in _dc.fields(sf.SatParams):
+                        ai = getattr(ca_i.sp_up, fld.name)
+                        aj = getattr(ca_j.sp_up, fld.name)
+                        ai[oi:oi + m] = getattr(ca_j.sp_dn, fld.name)[oj:oj + m]
+                        aj[oj:oj + m] = getattr(ca_i.sp_dn, fld.name)[oi:oi + m]
+                    ca_i.conductance_up[oi:oi + m] = \
+                        ca_j.conductance_dn[oj:oj + m]
+                    ca_j.conductance_up[oj:oj + m] = \
+                        ca_i.conductance_dn[oi:oi + m]
 
     def allocate_auxvars(self):
         for g in self.soe.goveqns:
