@@ -96,6 +96,22 @@ def _internal_conns_along_dir(nx, ny, nz, dx, dy, dz, idir):
     connections carry itype CONN_HORIZONTAL (mpp_mesh_utils.F90:462 — the
     reference overrides the per-direction type).
     """
+    try:
+        from mpp_tpu import native
+        dir_map = {ConnKind.IN_X_DIR: 1, ConnKind.IN_Y_DIR: 2,
+                   ConnKind.IN_Z_DIR: 3}
+        nat = (native.structured_connections_native(
+                   nx, ny, nz, dx, dy, dz, dir_map[idir])
+               if idir in dir_map else None)
+    except Exception:
+        nat = None
+    if nat is not None:
+        n_id_up, n_id_dn, n_dup, n_ddn, n_area = nat
+        return ConnectionSet(
+            id_up=n_id_up.astype(np.int32), id_dn=n_id_dn.astype(np.int32),
+            dist_up=n_dup, dist_dn=n_ddn, area=n_area,
+            itype=np.full(n_id_up.shape[0], int(ConnKind.HORIZONTAL),
+                          np.int32))
     ids = compute_cell_ids(nx, ny, nz)
     id_up, id_dn, dup, ddn, area = [], [], [], [], []
     if idir == ConnKind.IN_X_DIR:

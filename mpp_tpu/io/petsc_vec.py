@@ -16,7 +16,17 @@ VEC_FILE_CLASSID = 1211214
 
 
 def read_vec(path: str) -> np.ndarray:
-    """Load a PETSc binary Vec (VecLoad semantics)."""
+    """Load a PETSc binary Vec (VecLoad semantics).
+
+    Uses the mppnative C++ codec when available; numpy fallback below.
+    """
+    try:
+        from mpp_tpu import native
+        nat = native.petsc_vec_read_native(path, 0)
+    except Exception:
+        nat = None
+    if nat is not None:
+        return nat[0]
     header = np.fromfile(path, dtype=">i4", count=2)
     if header.size != 2 or int(header[0]) != VEC_FILE_CLASSID:
         raise ValueError(f"{path}: not a PETSc binary Vec "

@@ -98,11 +98,18 @@ def accumulation(P, p: ColumnParams, dt):
     return p.por * _DEN * sat * vol / dt, p.por * _DEN * dsat * vol / dt
 
 
-def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams):
-    """F [ncol, nz] and tridiagonal Jacobian diagonals (dl, d, du)."""
+def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
+                     ss=0.0):
+    """F [ncol, nz] and tridiagonal Jacobian diagonals (dl, d, du).
+
+    ``ss`` is an optional per-cell source/sink mass rate [kmol/s]
+    (positive = source), the batched analog of the reference's
+    COND_MASS_RATE source-sink conditions and of the operator-split
+    lateral flux staged as a source (SystemOfEquationsVSFMType.F90:
+    848-891)."""
     sat, dsat, kr, dkr = vg_sat_kr(P, p)
     acc, dacc = accumulation(P, p, dt)
-    F = acc - accum_prev
+    F = acc - accum_prev - ss
     d = dacc
     dl = jnp.zeros_like(P)
     du = jnp.zeros_like(P)
@@ -143,49 +150,66 @@ def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams):
     return F, (dl, d, du)
 
 
+REASON_FNORM_ABS = 1       # fnorm < atol        (SNES_CONVERGED_FNORM_ABS)
+REASON_FNORM_RELATIVE = 2  # fnorm < rtol*fnorm0 (SNES_CONVERGED_FNORM_RELATIVE)
+REASON_SNORM_RELATIVE = 4  # snorm < stol*xnorm  (SNES_CONVERGED_SNORM_RELATIVE)
+
+
 def newton_solve(P0, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
-                 rtol=1e-6, atol=1e-10, stol=1e-8, max_it=30):
+                 rtol=1e-6, atol=1e-10, stol=1e-8, max_it=30, ss=0.0):
     """Masked batched Newton: every column iterates until its own
     convergence; converged columns freeze (no wasted updates propagate).
 
-    Returns (P, iters, converged_mask)."""
+    Returns (P, iters, converged_mask, reason) where reason mirrors the
+    SNES converged-reason ids per column (REASON_* above)."""
 
-    F0, _ = residual_and_jac(P0, accum_prev, dt, bc_top, bc_bot, p)
+    F0, _ = residual_and_jac(P0, accum_prev, dt, bc_top, bc_bot, p, ss)
     fnorm0 = jnp.linalg.norm(F0, axis=-1)
 
     def cond(state):
-        P, fnorm, it, done = state
+        P, fnorm, it, done, reason = state
         return jnp.logical_and(it < max_it, ~jnp.all(done))
 
     def body(state):
-        P, fnorm, it, done = state
-        F, (dl, d, du) = residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p)
+        P, fnorm, it, done, reason = state
+        F, (dl, d, du) = residual_and_jac(P, accum_prev, dt, bc_top, bc_bot,
+                                          p, ss)
         dP = thomas(dl, d, du, F)
         P_new = P - jnp.where(done[..., None], 0.0, dP)
-        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot, p)
+        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot,
+                                    p, ss)
         fnorm_new = jnp.linalg.norm(F_new, axis=-1)
         # simple backtracking: halve once if the residual grew badly
         grew = fnorm_new > 2.0 * fnorm
         P_half = P - jnp.where(done[..., None] | ~grew[..., None], 0.0,
                                0.5 * dP)
         P_new = jnp.where(grew[..., None], P_half, P_new)
-        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot, p)
+        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot,
+                                    p, ss)
         fnorm_new = jnp.linalg.norm(F_new, axis=-1)
         snorm = jnp.linalg.norm(dP, axis=-1)
         xnorm = jnp.linalg.norm(P_new, axis=-1)
-        newly_done = ((fnorm_new <= rtol * fnorm0) | (fnorm_new < atol)
-                      | (snorm < stol * xnorm))
-        return (P_new, fnorm_new, it + 1, done | newly_done)
+        hit_frel = fnorm_new <= rtol * fnorm0
+        hit_fabs = fnorm_new < atol
+        hit_srel = snorm < stol * xnorm
+        newly_done = (hit_frel | hit_fabs | hit_srel) & ~done
+        new_reason = jnp.where(
+            hit_fabs, REASON_FNORM_ABS,
+            jnp.where(hit_frel, REASON_FNORM_RELATIVE, REASON_SNORM_RELATIVE))
+        reason = jnp.where(newly_done, new_reason, reason)
+        return (P_new, fnorm_new, it + 1, done | newly_done, reason)
 
     done0 = fnorm0 < atol
-    P, fnorm, iters, done = lax.while_loop(
-        cond, body, (P0, fnorm0, jnp.zeros((), jnp.int32), done0))
-    return P, iters, done
+    reason0 = jnp.where(done0, REASON_FNORM_ABS, 0)
+    P, fnorm, iters, done, reason = lax.while_loop(
+        cond, body, (P0, fnorm0, jnp.zeros((), jnp.int32), done0, reason0))
+    return P, iters, done, reason
 
 
 def step_dt(P_prev, dt, bc_top, bc_bot, p: ColumnParams, **kw):
     """One implicit timestep over all columns: accum at previous state,
     batched Newton from the previous solution."""
     acc_prev, _ = accumulation(P_prev, p, dt)
-    P, iters, done = newton_solve(P_prev, acc_prev, dt, bc_top, bc_bot, p, **kw)
+    P, iters, done, _ = newton_solve(P_prev, acc_prev, dt, bc_top, bc_bot, p,
+                                     **kw)
     return P, iters, done

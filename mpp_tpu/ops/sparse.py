@@ -66,9 +66,22 @@ class CSRTemplate:
 
 
 def csr_template(n_rows: int, n_cols: int, coo_rows, coo_cols) -> CSRTemplate:
-    """Build the static CSR sparsity from COO contribution coordinates."""
+    """Build the static CSR sparsity from COO contribution coordinates.
+
+    Uses the mppnative C++ builder when available (same sorted-unique
+    contract); falls back to numpy.
+    """
     coo_rows = np.asarray(coo_rows, np.int64)
     coo_cols = np.asarray(coo_cols, np.int64)
+    try:
+        from mpp_tpu import native
+        nat = native.csr_template_native(n_rows, n_cols, coo_rows, coo_cols)
+    except Exception:
+        nat = None
+    if nat is not None:
+        indptr, indices, slots = nat
+        return CSRTemplate(n_rows=n_rows, n_cols=n_cols, indptr=indptr,
+                           indices=indices, slots=slots)
     keys = coo_rows * n_cols + coo_cols
     uniq, inv = np.unique(keys, return_inverse=True)
     rows_u = (uniq // n_cols).astype(np.int32)
