@@ -107,6 +107,10 @@ def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
     COND_MASS_RATE source-sink conditions and of the operator-split
     lateral flux staged as a source (SystemOfEquationsVSFMType.F90:
     848-891)."""
+    # params may be scalars, [nz], or [ncol, nz]; normalize to P's shape so
+    # boundary-level slicing below is uniform
+    p = ColumnParams(*(jnp.broadcast_to(jnp.asarray(v, P.dtype), P.shape)
+                       for v in p))
     sat, dsat, kr, dkr = vg_sat_kr(P, p)
     acc, dacc = accumulation(P, p, dt)
     F = acc - accum_prev - ss
@@ -114,10 +118,13 @@ def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
     dl = jnp.zeros_like(P)
     du = jnp.zeros_like(P)
 
-    # internal faces k <-> k+1
+    # internal faces k <-> k+1: distance-weighted face quantities use the
+    # upper cell's dz/perm/area (uniform-grid semantics of the reference's
+    # structured column meshes)
     flux, dfu, dfd = _face_flux(P[..., :-1], P[..., 1:], kr[..., :-1],
                                 kr[..., 1:], dkr[..., :-1], dkr[..., 1:],
-                                p.dz, p.perm, p.area)
+                                p.dz[..., :-1], p.perm[..., :-1],
+                                p.area[..., :-1])
     F = F.at[..., :-1].add(-flux).at[..., 1:].add(flux)
     # F_k -= flux  -> dF_k/dP_k -= dfu ; dF_k/dP_{k+1} -= dfd
     d = d.at[..., :-1].add(-dfu)
@@ -128,23 +135,24 @@ def residual_and_jac(P, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
     # Dirichlet boundaries: bottom face of level 0, top face of level nz-1.
     # BC treatment per RichardsFlux: upweight=0, Dq = perm_cell/(dz/2),
     # BC auxvar kr evaluated at the BC pressure.
-    def bc_flux(P_bc, P_cell, kr_cell, dkr_cell, unit_z):
-        sat_b, _, kr_b, _ = vg_sat_kr(P_bc, p)
-        dist_gravity = (p.dz / 2.0) * unit_z * (-GRAVITY_CONSTANT)
+    def bc_flux(P_bc, P_cell, kr_cell, dkr_cell, unit_z, lev):
+        pl = ColumnParams(*(v[..., lev] for v in p))
+        sat_b, _, kr_b, _ = vg_sat_kr(P_bc, pl)
+        dist_gravity = (pl.dz / 2.0) * unit_z * (-GRAVITY_CONSTANT)
         dphi = P_bc - P_cell + _DEN * FMWH2O * dist_gravity
-        Dq = p.perm / (p.dz / 2.0)
+        Dq = pl.perm / (pl.dz / 2.0)
         up_wind = dphi >= 0.0
         ukvr = jnp.where(up_wind, kr_b, kr_cell) / _VIS
         dukvr_dn = jnp.where(up_wind, 0.0, dkr_cell / _VIS)
-        q = -Dq * ukvr * dphi * p.area
+        q = -Dq * ukvr * dphi * pl.area
         flux = q * _DEN
-        dflux_dn = -Dq * (dukvr_dn * dphi - ukvr) * p.area * _DEN
+        dflux_dn = -Dq * (dukvr_dn * dphi - ukvr) * pl.area * _DEN
         return flux, dflux_dn
 
-    fb, dfb = bc_flux(bc_bot, P[..., 0], kr[..., 0], dkr[..., 0], +1.0)
+    fb, dfb = bc_flux(bc_bot, P[..., 0], kr[..., 0], dkr[..., 0], +1.0, 0)
     F = F.at[..., 0].add(fb)
     d = d.at[..., 0].add(dfb)
-    ft, dft = bc_flux(bc_top, P[..., -1], kr[..., -1], dkr[..., -1], -1.0)
+    ft, dft = bc_flux(bc_top, P[..., -1], kr[..., -1], dkr[..., -1], -1.0, -1)
     F = F.at[..., -1].add(ft)
     d = d.at[..., -1].add(dft)
     return F, (dl, d, du)
@@ -175,15 +183,29 @@ def newton_solve(P0, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
         F, (dl, d, du) = residual_and_jac(P, accum_prev, dt, bc_top, bc_bot,
                                           p, ss)
         dP = thomas(dl, d, du, F)
-        P_new = P - jnp.where(done[..., None], 0.0, dP)
-        F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot,
-                                    p, ss)
-        fnorm_new = jnp.linalg.norm(F_new, axis=-1)
-        # simple backtracking: halve once if the residual grew badly
-        grew = fnorm_new > 2.0 * fnorm
-        P_half = P - jnp.where(done[..., None] | ~grew[..., None], 0.0,
-                               0.5 * dP)
-        P_new = jnp.where(grew[..., None], P_half, P_new)
+
+        # Backtracking line search, batched per column (the BT linesearch
+        # of SOEBaseStepDT_SNES): halve each column's step until its
+        # residual stops growing, up to 10 halvings.  Converged columns
+        # keep a zero step.
+        def ls_body(ls_state):
+            scale, fprev, _ = ls_state
+            P_try = P - jnp.where(done[..., None], 0.0, scale[..., None] * dP)
+            F_try, _ = residual_and_jac(P_try, accum_prev, dt, bc_top,
+                                        bc_bot, p, ss)
+            f_try = jnp.linalg.norm(F_try, axis=-1)
+            shrink = (f_try > fnorm) & (scale > 2.0 ** -10) & ~done
+            return (jnp.where(shrink, 0.5 * scale, scale), f_try,
+                    jnp.any(shrink))
+
+        def ls_cond(ls_state):
+            return ls_state[2]
+
+        scale0 = jnp.ones_like(fnorm)
+        scale, _, _ = lax.while_loop(
+            ls_cond, ls_body, (scale0, fnorm, jnp.array(True)))
+        P_new = P - jnp.where(done[..., None], 0.0, scale[..., None] * dP)
+        dP = scale[..., None] * dP
         F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot,
                                     p, ss)
         fnorm_new = jnp.linalg.norm(F_new, axis=-1)
@@ -206,10 +228,54 @@ def newton_solve(P0, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
     return P, iters, done, reason
 
 
+def step_dt_snes(P_prev, dt, bc_top, bc_bot, p: ColumnParams, max_cuts=20,
+                 **kw):
+    """One implicit timestep with the SOEBaseStepDT_SNES failure ladder
+    (soe/SystemOfEquationsBaseType.F90:368-552), batched: each column
+    carries its OWN dt ladder — on divergence a column halves its dt (up
+    to ``max_cuts`` times, restoring its previous solution) and sub-steps
+    until it has integrated the full ``dt``; converged columns never wait
+    on stiff ones (SURVEY §7.3 per-column dt ladders).
+
+    Returns (P, total_newton_iters, success_mask, last_reason).
+    """
+    dtype = P_prev.dtype
+    ncol = P_prev.shape[0]
+    dt_total = jnp.broadcast_to(jnp.asarray(dt, dtype), (ncol,))
+
+    def cond(state):
+        P, t, dtc, ncuts, failed, iters, reason = state
+        return jnp.any((t < dt_total) & ~failed)
+
+    def body(state):
+        P, t, dtc, ncuts, failed, iters, reason = state
+        active = (t < dt_total) & ~failed
+        dte = jnp.minimum(dtc, dt_total - t)
+        dte = jnp.where(active, dte, dt_total)        # benign dt when idle
+        acc_prev, _ = accumulation(P, p, dte[:, None])
+        P_new, it, done, rsn = newton_solve(P, acc_prev, dte[:, None],
+                                            bc_top, bc_bot, p, **kw)
+        ok = active & done
+        div = active & ~done
+        P = jnp.where(ok[:, None], P_new, P)          # diverged: restore
+        t = jnp.where(ok, t + dte, t)
+        ncuts = jnp.where(div, ncuts + 1, ncuts)
+        dtc = jnp.where(div, 0.5 * dtc, dtc)
+        failed = failed | (ncuts > max_cuts)
+        reason = jnp.where(ok, rsn, reason)
+        return (P, t, dtc, ncuts, failed, iters + it, reason)
+
+    z = jnp.zeros((ncol,), dtype)
+    state0 = (P_prev, z, dt_total, jnp.zeros((ncol,), jnp.int32),
+              jnp.zeros((ncol,), bool), jnp.zeros((), jnp.int32),
+              jnp.zeros((ncol,), jnp.int32))
+    P, t, dtc, ncuts, failed, iters, reason = lax.while_loop(
+        cond, body, state0)
+    return P, iters, (t >= dt_total) & ~failed, reason
+
+
 def step_dt(P_prev, dt, bc_top, bc_bot, p: ColumnParams, **kw):
     """One implicit timestep over all columns: accum at previous state,
-    batched Newton from the previous solution."""
-    acc_prev, _ = accumulation(P_prev, p, dt)
-    P, iters, done, _ = newton_solve(P_prev, acc_prev, dt, bc_top, bc_bot, p,
-                                     **kw)
+    batched Newton with the per-column dt-cut ladder."""
+    P, iters, done, _ = step_dt_snes(P_prev, dt, bc_top, bc_bot, p, **kw)
     return P, iters, done

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def column_mesh(n_devices=None, axis="col"):
