@@ -845,6 +845,11 @@ class VSFMSoE:
         data = np.asarray(self.template.assemble(jnp.concatenate(vals)))
         return self.template.indptr, self.template.indices, data
 
+    def pre_step_dt(self):
+        """VSFMSoePreStepDT: rotate soln -> soln_prev_clm
+        (SystemOfEquationsVSFMType.F90:892-916)."""
+        self.soln_prev_clm = self.soln
+
     def pre_solve(self, dt):
         """VSFMSOEPreSolve: aux pressure from soln_prev; accum_prev."""
         for g, off in zip(self.goveqns, self.offsets[:-1]):
@@ -1049,6 +1054,15 @@ class VSFMMPP:
             satfunc_type, density_type)
 
     # per-GE property setters (VSFMMPPSet* pass-throughs) ------------------
+    def set_density_type(self, igoveqn, density_type):
+        """VSFMMPPSetDensityType (MultiPhysicsProbVSFM.F90:1115-1152)."""
+        self.soe.goveqns[igoveqn - 1].density_type = int(density_type)
+
+    def set_soil_permeability(self, igoveqn, perm_x, perm_y, perm_z):
+        """VSFMMPPSetSoilPermeability pass-through."""
+        self.soe.goveqns[igoveqn - 1].set_soil_permeability(perm_x, perm_y,
+                                                            perm_z)
+
     def set_soil_porosity(self, igoveqn, por):
         self.soe.goveqns[igoveqn - 1].set_soil_porosity(por)
 

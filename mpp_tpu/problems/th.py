@@ -93,6 +93,89 @@ def run_heat_transport_1d(nz=100, dtime=3600.0, nstep=2):
     return mpp, mpp.get_data(Var.TEMPERATURE)
 
 
+def run_heat_transport_1d_with_advection(nx=100, dtime=3600.0, nstep=1,
+                                         pressure_ic=None,
+                                         pressure_ic_file=None):
+    """heat_transport_1D_with_advection.F90:15-636.
+
+    Same enthalpy-based heat equation as ``run_heat_transport_1d`` but on
+    nx cells along x (x in [0,1], conn area dy*dz; F90:217-292), IFC67
+    density + enthalpy (F90:508-511), Dirichlet T at both x faces
+    (303.15 / 293.15 K; F90:621-623), and a *nonuniform* pressure field
+    staged into the internal auxvars so the enthalpy flux carries a Darcy
+    advective component.  The reference reads the pressure IC from a
+    PETSc binary Vec ``pressure_ic.bin`` in cwd (F90:576-582) — here it
+    is passed directly (``pressure_ic``) or loaded from a PETSc binary
+    file (``pressure_ic_file``); default is a uniform 91325 Pa (no
+    advection).
+    """
+    ny = nz = 1
+    mpp = ThermalEnthalpyMPP()
+    mpp.set_name("1D heat conduction")
+    mpp.set_id(MPPType.THERMAL_EBASED_SNES_CLM)
+    mpp.set_num_meshes(1)
+    dx, dy, dz = 1.0 / nx, 1.0 / ny, 1.0 / nz
+    mesh = structured_mesh("Soil mesh", 1.0, 1.0, 1.0, nx, ny, nz,
+                           ConnKind.IN_X_DIR)
+    mesh.itype = int(MeshType.CLM_THERMAL_SOIL_COL)
+    # internal connections are CONN_VERTICAL in the reference (F90:284)
+    mesh.intrn_conn_sets[0].itype[:] = int(ConnKind.VERTICAL)
+    mpp.add_mesh(mesh)
+    mpp.add_goveqn(GEType.THERM_SOIL_EBASED,
+                   "Heat transport based on enthalpy ODE")
+    for cell, sign, name in ((0, 1.0, "top"), (nx - 1, -1.0, "bottom")):
+        mpp.add_condition_in_goveqn(
+            1, Cond.BC, f"Constant temperature condition at {name}", "K",
+            Cond.DIRICHLET,
+            conn_set=_x_face_bc_conn(nx, dx, dy, dz, cell, sign))
+    mpp.allocate_auxvars()
+    mpp.setup_problem()
+
+    n = nx * ny * nz
+    porosity, lam, alpha = 0.368, 0.5, 3.4257e-4
+    perm = 8.3913e-12
+    vish2o = 0.001002
+    import mpp_tpu.constants as C
+    hksat = perm / vish2o * (C.DENH2O * C.GRAV_CLM) / 0.001
+    mpp.set_soils(filter_thermal=np.ones(n, np.int64),
+                  watsat=np.full((nx, nz), porosity),
+                  csol=np.full((nx, nz), 837.0),
+                  tkdry=np.full((nx, nz), 0.25),
+                  hksat=np.full((nx, nz), hksat),
+                  bsw=np.full((nx, nz), 1.0 / lam),
+                  sucsat=np.full((nx, nz), 1.0 / (alpha * GRAVITY_CONSTANT)),
+                  residual_sat=np.full((nx, nz), 0.2772),
+                  satfunc_type="van_genuchten",
+                  density_type=eos.DENSITY_IFC67,
+                  int_energy_type=eos.INT_ENERGY_ENTHALPY_IFC67)
+
+    if pressure_ic_file is not None:
+        from mpp_tpu.io.petsc_vec import read_petsc_vec
+        pressure_ic = read_petsc_vec(pressure_ic_file)
+    if pressure_ic is None:
+        pressure_ic = np.full(n, 91325.0)
+    pressure_ic = np.asarray(pressure_ic, np.float64)
+
+    mpp.set_initial_temperature(np.full(n, 283.15))
+    mpp.set_data(AuxVarKind.INTERNAL, Var.PRESSURE, -1, pressure_ic)
+    # Stage the boundary-face auxvar pressure to the adjacent cell's value
+    # so the face carries no spurious Darcy outflow (the reference leaves
+    # BC auxvar pressure at its 0-Pa init, RichardsODEPressureAuxType.
+    # F90:91, because its driver only stages AUXVAR_INTERNAL; matching
+    # mass_and_heat_model_problem.F90:556-652 staging instead).
+    ge = mpp.soe.goveqns[0]
+    ge.bc_pressure = ge.bc_pressure.at[:].set(
+        jnp.asarray([pressure_ic[0], pressure_ic[-1]]))
+
+    for istep in range(1, nstep + 1):
+        mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 1, [303.15])
+        mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 2, [293.15])
+        mpp.set_data(AuxVarKind.INTERNAL, Var.PRESSURE, -1, pressure_ic)
+        converged, _reason = mpp.soe.step_dt(dtime, istep)
+        assert converged
+    return mpp, mpp.get_data(Var.TEMPERATURE)
+
+
 def output_regression_heat_transport_1d(filename_base, num_cells, temp):
     w = RegressionWriter(filename_base, num_cells)
     w.write_data("temperature", "general", temp)

@@ -108,7 +108,7 @@ def _build_mesh(nz):
 
 
 def run_vsfm_vchannel_problem(nz=30, dtime=8640.0, nstep=3,
-                              with_seepage_bc=False):
+                              with_seepage_bc=False, ic_offset=2.0):
     n = NX * NY * nz
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
@@ -152,7 +152,7 @@ def run_vsfm_vchannel_problem(nz=30, dtime=8640.0, nstep=3,
     icell = 0
     for jz in range(1, nz + 1):
         for c in range(ncol):
-            press_ic[icell] = ((18.75 - 0.5 * (jz - 1) - 2.0)
+            press_ic[icell] = ((18.75 - 0.5 * (jz - 1) - ic_offset)
                                * 997.18 * 9.8 + 101325.0)
             icell += 1
     mpp.restart(press_ic)
