@@ -282,7 +282,12 @@ class RichardsGE:
             dy = self.mesh.yc[cs.id_dn] - self.mesh.yc[cs.id_up]
             dz = self.mesh.zc[cs.id_dn] - self.mesh.zc[cs.id_up]
             dist = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
-            cs.unit_vec = np.stack([dx / dist, dy / dist, dz / dist], axis=1)
+            # coincident centroids (conductance-type connections in SPAC
+            # networks) get a zero unit vector: no gravity contribution
+            safe = np.where(dist > 0.0, dist, 1.0)
+            cs.unit_vec = np.where(
+                dist[:, None] > 0.0,
+                np.stack([dx / safe, dy / safe, dz / safe], axis=1), 0.0)
         return cs
 
     def _bc_concat(self):

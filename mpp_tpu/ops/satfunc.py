@@ -396,18 +396,48 @@ _SAT_INV_DISPATCH = {
 }
 
 
-def _blend(types: np.ndarray, table, compute):
+# Benign stand-in parameter values used for lanes NOT selected by a model in
+# the _blend where-chain.  jnp.where evaluates both branches; without these,
+# zero placeholder params (m=0, d=0, ...) raise divide-by-zero warnings on CPU
+# and produce inf*0 NaNs under TPU fast-math even though the lane is masked.
+_SAFE_PARAMS = dict(
+    sat_res=0.2, alpha=1e-4, vg_m=0.5, vg_n=2.0, bc_lambda=0.5,
+    sbc_pu=-10.0, sbc_ps=-1.0, sbc_b2=0.0, sbc_b3=0.0,
+    w_c=1.0, w_d=1.0, campbell_he=-1.0, campbell_n=1.0,
+    fetch2_phi88=-1.0, fetch2_phi50=-2.0, chuang_phi0=-1.0, chuang_p=1.0)
+
+
+def _sanitized(params: SatParams, mask) -> SatParams:
+    """Params with non-``mask`` lanes replaced by benign values (see above).
+
+    ``jnp.where`` with an all-true mask returns the original array bitwise,
+    so single-model configurations are unchanged exactly.
+    """
+    kw = {}
+    for f in dataclasses.fields(SatParams):
+        v = getattr(params, f.name)
+        if f.name in _SAFE_PARAMS:
+            kw[f.name] = jnp.where(mask, v, _SAFE_PARAMS[f.name])
+        else:
+            kw[f.name] = v
+    return SatParams(**kw)
+
+
+def _blend(types: np.ndarray, table, params: SatParams, compute):
     """Evaluate each model present in ``types`` and blend with jnp.where.
 
     ``types`` is static numpy; the set of models is resolved at trace time, so
-    jit sees only the where-chain over models actually used.
+    jit sees only the where-chain over models actually used.  Each model is
+    evaluated with per-lane sanitized params (``_sanitized``) so masked-out
+    lanes cannot produce inf/NaN intermediates.
     """
     present = np.unique(types)
     out = None
     for code in present:
         fn = table[int(code)]
-        vals = compute(fn)
         mask = jnp.asarray(types == code)
+        vals = compute(fn, _sanitized(params, mask) if len(present) > 1
+                       else params)
         if out is None:
             out = tuple(jnp.where(mask, v, 0.0) for v in vals)
         else:
@@ -418,7 +448,8 @@ def _blend(types: np.ndarray, table, compute):
 def press_to_sat(params: SatParams, press):
     """Pressure -> (saturation, dsat/dP) (SaturationFunction.F90:564-600)."""
     pc = press - PRESSURE_REF
-    return _blend(params.sat_func_type, _SAT_DISPATCH, lambda fn: fn(params, pc))
+    return _blend(params.sat_func_type, _SAT_DISPATCH, params,
+                  lambda fn, p_: fn(p_, pc))
 
 
 def sat_to_press(params: SatParams, sat):
@@ -427,9 +458,9 @@ def sat_to_press(params: SatParams, sat):
     SBC inverse is not implemented yet (needs the per-cell cubic Newton,
     SaturationFunction.F90:1144-1259); raises if SBC cells are present.
     """
-    def compute(fn):
-        return (fn(params, sat),)
-    (pc,) = _blend(params.sat_func_type, _SAT_INV_DISPATCH, compute)
+    def compute(fn, p_):
+        return (fn(p_, sat),)
+    (pc,) = _blend(params.sat_func_type, _SAT_INV_DISPATCH, params, compute)
     return pc + PRESSURE_REF
 
 
@@ -450,4 +481,4 @@ def press_to_relperm(params: SatParams, press, frac_liq):
         RELPERM_FUNC_WEIBULL: lambda p_, pc_: pc_to_relperm_weibull(p_, pc_),
         RELPERM_FUNC_CAMPBELL: lambda p_, pc_: pc_to_relperm_campbell(p_, pc_),
     }
-    return _blend(keys, table, lambda fn: fn(params, pc))
+    return _blend(keys, table, params, lambda fn, p_: fn(p_, pc))
