@@ -336,6 +336,7 @@ class _RadiationMPPBase:
         self.goveqns = []
         self._ilu_cache = {}
         self.template: Optional[CSRTemplate] = None
+        self.block_template = None
         self.cumulative_linear_iterations = 0
 
     @property
@@ -375,15 +376,32 @@ class _RadiationMPPBase:
     def setup_problem(self):
         pass
 
-    def step_dt(self, dt, istep=1):
+    def step_dt(self, dt, istep=1, solver="ksp"):
+        """One KSP step.  ``solver="ksp"`` is the golden-parity path
+        (GMRES+ILU(0) iterate, as PETSc records it); ``solver="block"``
+        is the batched TPU production path — the same COO values scattered
+        into per-column block-tridiagonal form and solved exactly with the
+        batched block-Thomas sweep (ops/block_structure.py)."""
         ge = self.goveqns[0]
-        if self.template is None:
-            r, c = ge.coo_coords()
-            n = ge.mesh.ncells_local * ge.dof
-            self.template = csr_template(n, n, r, c)
         vals = ge.matrix_values()
         b = ge.rhs()
-        x, iters, conv = _solve_ksp(self.template, vals, b, self._ilu_cache)
+        if solver == "block":
+            if self.block_template is None:
+                from mpp_tpu.ops.block_structure import BlockTridiagTemplate
+                r, c = ge.coo_coords()
+                nlev = ge.mesh.nlev
+                ncol = ge.mesh.ncells_local // nlev
+                self.block_template = BlockTridiagTemplate(ncol, nlev,
+                                                           ge.dof, r, c)
+            x = self.block_template.solve(vals, b).reshape(-1)
+            conv, iters = True, 1
+        else:
+            if self.template is None:
+                r, c = ge.coo_coords()
+                n = ge.mesh.ncells_local * ge.dof
+                self.template = csr_template(n, n, r, c)
+            x, iters, conv = _solve_ksp(self.template, vals, b,
+                                        self._ilu_cache)
         self.cumulative_linear_iterations += iters
         ge.save_soln(x)
         if hasattr(ge, "post_solve"):

@@ -364,6 +364,7 @@ class ThermalSOE:
         self.template: Optional[CSRTemplate] = None
         self._jit_step = None
         self._ilu = None
+        self._block_tpl = None
         self.cumulative_linear_iterations = 0
 
     @property
@@ -393,9 +394,15 @@ class ThermalSOE:
         self.soln_prev = self.soln_prev_clm
         self.soln = self.soln_prev_clm
 
-    def step_dt(self, dt: float) -> bool:
+    def step_dt(self, dt: float, solver: str = "ksp") -> bool:
         """KSP step (SOEBaseStepDT_KSP): assemble from soln_prev, solve,
-        PostSolve copies soln -> soln_prev."""
+        PostSolve copies soln -> soln_prev.
+
+        ``solver="ksp"`` is the golden-parity GMRES+ILU(0) path;
+        ``solver="block"`` is the batched TPU production path for
+        column-chain meshes — the identical COO values scattered into
+        per-column tridiagonal blocks and solved with the exact batched
+        Thomas sweep (ops/block_structure.py)."""
         tpl = self.template
         T = self.soln_prev
         vals_list, b_list = [], []
@@ -405,6 +412,29 @@ class ThermalSOE:
             v, b = g.contributions(Tg, dt, self.cnfac, ss_vals)
             vals_list.append(v)
             b_list.append(b)
+        if solver == "block":
+            if self._block_tpl is None:
+                from mpp_tpu.ops.block_structure import (
+                    BlockTridiagTemplate, chain_shape)
+                rows, cols = [], []
+                for g, off in zip(self.goveqns, self.offsets[:-1]):
+                    r, c = g.coo_coords(off, off)
+                    rows.append(r)
+                    cols.append(c)
+                rows = np.concatenate(rows)
+                cols = np.concatenate(cols)
+                ncol, nlev = chain_shape(self.n_total, rows, cols)
+                self._block_tpl = BlockTridiagTemplate(ncol, nlev, 1,
+                                                       rows, cols)
+            x = self._block_tpl.solve(jnp.concatenate(vals_list),
+                                      jnp.concatenate(b_list))
+            self.soln = x.reshape(-1)
+            self.cumulative_linear_iterations += 1
+            converged = True
+            self.soln_prev = self.soln
+            for g, off in zip(self.goveqns, self.offsets[:-1]):
+                g.temperature = self.soln[off:off + g.mesh.ncells_local]
+            return True
         data = np.asarray(tpl.assemble(jnp.concatenate(vals_list)))
         b = np.asarray(jnp.concatenate(b_list))
         # PETSc-default KSP: GMRES(30) + ILU(0), rtol 1e-5 — the golden
