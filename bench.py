@@ -175,6 +175,36 @@ def bench_newton(jax, jnp):
     }
 
 
+def bench_canopy(jax, jnp):
+    """Batched ml_model substep (lwv -> lbl -> psy -> mlc) over [ncair]
+    columns, fully jitted — the coupled-canopy production path
+    (ml_model_problem.F90:377-409)."""
+    from mpp_tpu.batched.canopy_pipeline import CanopyPipeline
+
+    ncair = 512
+    pipe = CanopyPipeline(ncair=ncair, dtype=jnp.float32)
+    state = pipe.initial_state()
+    step = jax.jit(lambda s: pipe.substep(s))
+    state = step(state)  # compile + settle one substep
+    jax.block_until_ready(state)
+    lat = _latency(jax, jnp)
+
+    nsub = 4
+
+    @jax.jit
+    def run(s):
+        for _ in range(nsub):
+            s = step(s)
+        return s.T_air.sum()
+
+    dt = _time_scalar(lambda: run(state), lat) / nsub
+    return {
+        "ncair": ncair, "nlev": pipe.nlev, "dtype": "float32",
+        "ms_per_substep": dt * 1e3,
+        "column_substeps_per_s": ncair / dt,
+    }
+
+
 def bench_scaling_worker():
     """Runs in a CPU subprocess with 8 forced host devices."""
     import jax
@@ -268,6 +298,10 @@ def main():
         detail["vsfm_newton"] = bench_newton(jax, jnp)
     except Exception as e:  # noqa: BLE001
         detail["vsfm_newton"] = {"error": repr(e)[:300]}
+    try:
+        detail["canopy_pipeline"] = bench_canopy(jax, jnp)
+    except Exception as e:  # noqa: BLE001
+        detail["canopy_pipeline"] = {"error": repr(e)[:300]}
     try:
         detail["scaling"] = bench_scaling()
     except Exception as e:  # noqa: BLE001

@@ -1,0 +1,355 @@
+"""Batched end-to-end canopy pipeline: the ml_model substep loop as one
+jitted function over [ncair] columns — the TPU production path for the
+coupled canopy system.
+
+Reproduces the operator-split orchestration of
+``driver/standalone/ml_model/ml_model_problem.F90:377-409``:
+
+  shortwave (hourly, solved once at build — sky forcing is static here)
+  -> per substep: longwave -> leaf boundary layer -> photosynthesis ->
+     multi-layer canopy (turbulence presolve + coupled T/q/Tleaf solve)
+
+with the inter-MPP data plumbing of ``ml_model/{swv,lwv,lbl,
+photosynthesis,mlc}.F90`` (absorbed radiation -> leaf net radiation,
+boundary-layer conductances -> photosynthesis & canopy exchange, stomatal
+conductance -> transpiration, canopy-top state -> next Obukhov iterate).
+
+Every stage is pure jnp: longwave/MLC solve through the batched
+block-Thomas path, photosynthesis through the batched masked Newton,
+turbulence through the batched Obukhov solve.  The whole substep jits to
+a single XLA program; columns shard over the device mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpp_tpu.constants import (MM_H2O, MM_DRY_AIR, RGAS, TFRZ)
+from mpp_tpu.batched import turbulence as bt
+from mpp_tpu.batched import mlc as bmlc
+from mpp_tpu.batched import photosynthesis as bp
+from mpp_tpu.models import photosynthesis as ph
+from mpp_tpu.models.canopy_turbulence import CanopyTurbulenceAuxVar
+from mpp_tpu.models.lbl import LeafBoundaryLayerGE
+from mpp_tpu.models.radiation import LongwaveGE, ShortwaveMPP
+from mpp_tpu.ops.block_structure import BlockTridiagTemplate
+from mpp_tpu.problems import mlc as mlc_problem
+from mpp_tpu.problems.canopy_radiation import canopy_mesh, _top_bc_conns
+from mpp_tpu.problems.photosynthesis import _set_soil_parameters
+
+
+class CanopyState(NamedTuple):
+    """Per-column prognostic state ([ncair, nlev]; level 0 = ground)."""
+    T_air: jnp.ndarray
+    q_air: jnp.ndarray
+    T_sun: jnp.ndarray
+    T_shd: jnp.ndarray
+
+
+@dataclasses.dataclass
+class CanopyPipeline:
+    """Build once, then call the jitted ``substep``.
+
+    Forcing/canopy structure come from the mlc + ml_model reference test
+    problems (mlc_parameters.F90, ml_model BCs), broadcast over ncair."""
+    ncair: int
+    nz_cair: int = 92
+    dtype: object = jnp.float64
+
+    def __post_init__(self):
+        nc = self.ncair
+        nlev = self.nz_cair + 1
+        self.nlev = nlev
+        dt = self.dtype
+
+        dpai, _ = mlc_problem.get_dpai_fssh()
+        self.dpai_lev = np.asarray(dpai[1:nlev + 1])        # [nlev], lev 0 soil
+        dpai_pos = self.dpai_lev > 0.0
+
+        # --- forcing (mlc_parameters.F90 + ml_model synthetic BCs)
+        self.pref = 98620.0
+        self.uref = 5.169
+        self.tref = 295.9349938964844
+        self.qref = 0.01
+        self.irsky = 400.0
+        self.soil_T_forcing = 294.8492736816406
+        self.soil_res = 3361.509423807650
+        self.soil_rhg = 0.9984057411945876
+        self.soil_tk = 1.261326601469150
+        self.soil_dz = 7.1006354171935350e-3
+        self.co2ref, self.o2ref = 380.0, 0.209 * 1000.0
+
+        # turbulence static pieces (zs grid + derived scalars)
+        ct = CanopyTurbulenceAuxVar(1, nlev)
+        ct.pai[0] = mlc_problem.PAI
+        ct.hc[0] = mlc_problem.HC
+        ct.zref[0] = 46.0
+        ct.pref[0] = self.pref
+        ct.uref[0] = self.uref
+        ct.tref[0] = self.tref
+        ct.qref[0] = self.qref
+        ct.compute_derived_atm_inputs(0)
+        self.zs = np.asarray(ct.zs)
+        self.ntop = int(ct.ntop[0])
+        self.thref = float(ct.thref[0])
+        self.eref = float(ct.eref[0])
+        self.cpair0 = float(ct.cpair[0])
+        self.rhomol0 = float(ct.rhomol[0])
+        self.tables = bt.load_psihat_jnp(dtype=dt)
+
+        # --- shortwave, solved once at build (swv.F90 parameters)
+        sw = ShortwaveMPP()
+        sw.add_mesh(canopy_mesh(self.nz_cair, ncair=1))
+        from mpp_tpu.constants import Cond
+        ieqn = sw.add_goveqn("shortwave")
+        dz_cair = 46.0 / self.nz_cair
+        sw.add_condition_in_goveqn(ieqn, Cond.BC, "sky", "W/m2",
+                                   Cond.DIRICHLET,
+                                   conn_set=_top_bc_conns(self.nz_cair, 1,
+                                                          dz_cair))
+        sw.allocate_auxvars()
+        ge = sw.goveqns[0]
+        n1 = nlev
+        # per-layer direct/diffuse transmittances from the layer's own
+        # plant area (ml_model swv.F90:246-273); empty layers transparent
+        from mpp_tpu.problems.ml_model import (compute_kb,
+                                               compute_transmittance)
+        xl, sza = 0.25, 0.5
+        _, _, kb = compute_kb(xl, sza)
+        tb_lev = np.ones(nlev)
+        td_lev = np.ones(nlev)
+        for k in range(nlev):
+            tb_lev[k], td_lev[k] = compute_transmittance(
+                xl, sza, float(self.dpai_lev[k]), 1.0)
+        self.td_lev = td_lev
+        iskyb = np.array([0.8, 0.8]) * 400.0
+        iskyd = np.array([0.2, 0.2]) * 100.0
+        is_soil = np.zeros(n1, bool)
+        is_soil[0] = True
+        cumpai_above = np.concatenate(
+            [np.cumsum(self.dpai_lev[::-1])[::-1][1:], [0.0]])
+        leaf_tbcum = np.exp(-kb * cumpai_above)
+        # sunlit fraction from the SAME beam extinction as tbcum
+        # (ml_model swv.F90:188-210: fssh = exp(-kb*sumpai), sumpai at
+        # layer midpoint), so per-sunlit-area absorption stays bounded
+        sumpai_mid = cumpai_above + 0.5 * self.dpai_lev
+        self.fssh_lev = np.where(dpai_pos, np.exp(-kb * sumpai_mid), 0.0)
+        ge.is_soil = is_soil
+        ge.leaf_rho = jnp.where(jnp.asarray(dpai_pos)[:, None],
+                                jnp.asarray([[0.10, 0.45]]), 1e-6)
+        ge.leaf_tau = jnp.where(jnp.asarray(dpai_pos)[:, None],
+                                jnp.asarray([[0.05, 0.25]]), 1e-6)
+        ge.leaf_omega = ge.leaf_rho + ge.leaf_tau
+        ge.leaf_td = jnp.asarray(td_lev)
+        ge.leaf_tb = jnp.asarray(tb_lev)
+        ge.leaf_tbcum = jnp.asarray(leaf_tbcum)
+        ge.leaf_dpai = jnp.asarray(self.dpai_lev)
+        ge.leaf_fssh = jnp.stack([jnp.asarray(self.fssh_lev),
+                                  1.0 - jnp.asarray(self.fssh_lev)], axis=1)
+        ge.soil_albedo_b = jnp.tile(jnp.asarray([[0.1, 0.2]]), (n1, 1))
+        ge.soil_albedo_d = jnp.tile(jnp.asarray([[0.1, 0.2]]), (n1, 1))
+        ge.Iskyb = jnp.tile(jnp.asarray(iskyb), (n1, 1))
+        ge.Iskyd = jnp.tile(jnp.asarray(iskyd), (n1, 1))
+        ge.bc_Iskyb = jnp.asarray(iskyb)[None, :]
+        ge.bc_Iskyd = jnp.asarray(iskyd)[None, :]
+        ok, _ = sw.step_dt(0.0)
+        assert ok
+        ge.post_solve()
+        iabs = np.asarray(ge.Iabs_leaf)       # [sun_vis, shd_vis, sun_nir, shd_nir]
+        self.apar_sun = np.broadcast_to((iabs[:, 0] + 0.0) * 4.6, (nc, nlev))
+        self.apar_shd = np.broadcast_to((iabs[:, 1] + 0.0) * 4.6, (nc, nlev))
+        self.rn_sw_sun = np.broadcast_to(iabs[:, 0] + iabs[:, 2], (nc, nlev))
+        self.rn_sw_shd = np.broadcast_to(iabs[:, 1] + iabs[:, 3], (nc, nlev))
+        self.isoil_sw = float(np.asarray(ge.Iabs_soil)[0].sum())
+
+        # --- longwave GE + block template at [ncair] columns
+        lw = LongwaveGE(name="lw", mesh=canopy_mesh(self.nz_cair, ncair=nc),
+                        nleaf=2)
+        lw.boundary_conditions = []
+        from mpp_tpu.dtypes.conditions import Condition
+        cond = Condition(name="sky", units="W/m2", itype=int(Cond.DIRICHLET),
+                         conn_set=_top_bc_conns(self.nz_cair, nc, dz_cair))
+        cond.ensure_value()
+        lw.boundary_conditions.append(cond)
+        lw.allocate_auxvars()
+        n = nc * nlev
+        emleaf, emgrnd = 0.98, 0.96
+        is_soil_n = np.zeros(n, bool)
+        is_soil_n[0::nlev] = True
+        lw.is_soil = is_soil_n
+        lw.trans = jnp.asarray(np.tile(td_lev, nc))
+        lw.leaf_rho = jnp.full(n, 1.0 - emleaf)
+        lw.leaf_tau = jnp.zeros(n)
+        lw.leaf_emiss = jnp.full(n, emleaf)
+        gem = np.zeros(n)
+        gem[0::nlev] = emgrnd
+        lw.ground_emiss = jnp.asarray(gem)
+        dpai_n = np.tile(self.dpai_lev, nc)
+        lw.leaf_dpai = jnp.stack([jnp.asarray(dpai_n)] * 2, axis=1)
+        lw.bc_Idn = jnp.full(nc, self.irsky)
+        r, c = lw.coo_coords()
+        self.lw = lw
+        self.lw_tpl = BlockTridiagTemplate(nc, nlev, lw.dof, r, c)
+
+        # --- leaf boundary layer GE (2*nlev leaf cells per column: sun+shd)
+        lbl_mesh = canopy_mesh(self.nz_cair, ncair=2 * nc)
+        self.lbl = LeafBoundaryLayerGE(name="lbl", mesh=lbl_mesh)
+        self.lbl.allocate_auxvars()
+        self.lbl.dleaf = jnp.full(2 * n, 0.04)
+
+        # --- photosynthesis static params (photosynthesis_parameters.F90)
+        av = ph.PhotosynthesisAuxVars(2 * n, 1, c3psn=ph.PATHWAY_C3,
+                                      gstype=ph.SCM_MEDLYN)
+        av.pref[:] = self.pref
+        av.cair[:] = self.co2ref
+        av.o2ref[:] = self.o2ref
+        av.btran[:] = 1.0
+        av.dpai[:] = np.tile(dpai_n, 2)
+        av.root_biomass[:] = 500.0
+        av.root_radius[:] = 0.29e-3
+        av.root_density[:] = 0.31e6
+        av.root_resist[:] = 25.0
+        _set_soil_parameters(av)
+        av.leaf_psi[:] = -1.5
+        av.leaf_height[:] = 15.0
+        av.leaf_capc[:] = 2500.0
+        av.leaf_minlwp[:] = -2.0
+        av.leaf_lai[:] = 500.0
+        av.k_stem2leaf[:] = 4.0
+        self.psy_cfg, self._psy_params0 = bp.params_from_auxvars(av)
+
+        # --- MLC static block-input pieces
+        self.mlc_static = dict(
+            cpair=jnp.full(nc, self.cpair0, dt),
+            rhomol=jnp.full(nc, self.rhomol0, dt),
+            pref=jnp.full(nc, self.pref, dt),
+            leaf_cpair=jnp.asarray(self.cpair0, dt),
+            leaf_pref=jnp.asarray(self.pref, dt),
+            soil_rhg=jnp.full(nc, self.soil_rhg, dt),
+            soil_tk=jnp.full(nc, self.soil_tk, dt),
+            soil_dz=jnp.full(nc, self.soil_dz, dt),
+            soil_res=jnp.full(nc, self.soil_res, dt),
+            soil_T=jnp.full(nc, self.soil_T_forcing, dt),
+            leaf_fwet=jnp.zeros((nc, nlev, 2), dt),
+            leaf_fdry=jnp.broadcast_to(
+                jnp.where(jnp.asarray(dpai_pos), mlc_problem.FDRY, 0.0),
+                (nc, nlev)).astype(dt)[..., None].repeat(2, -1),
+            leaf_fssh=jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(self.fssh_lev), (nc, nlev)),
+                 jnp.broadcast_to(1.0 - jnp.asarray(self.fssh_lev),
+                                  (nc, nlev))], axis=-1).astype(dt),
+            leaf_dpai=jnp.broadcast_to(jnp.asarray(self.dpai_lev),
+                                       (nc, nlev)).astype(dt)[..., None]
+            .repeat(2, -1),
+            leaf_cp=jnp.full((nc, nlev, 2), mlc_problem.CP_LEAF, dt),
+            bc_T=jnp.full(nc, self.thref, dt),
+            bc_q=jnp.full(nc, self.eref / self.pref, dt),
+            vol_air=jnp.asarray(46.0 / self.nz_cair, dt),
+        )
+        self.dpai_pos = jnp.asarray(dpai_pos)
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> CanopyState:
+        nc, nlev = self.ncair, self.nlev
+        T0 = jnp.full((nc, nlev), self.tref, self.dtype)
+        q0 = jnp.full((nc, nlev), self.qref, self.dtype)
+        return CanopyState(T_air=T0, q_air=q0, T_sun=T0, T_shd=T0)
+
+    def substep(self, state: CanopyState, dt=300.0) -> CanopyState:
+        """One operator-split substep (lwv -> lbl -> psy -> mlc), pure jnp
+        (ml_model_problem.F90:388-409)."""
+        nc, nlev = self.ncair, self.nlev
+        dtype = self.dtype
+
+        # canopy-top state feeds the Obukhov iterate (mlc.F90:447-506)
+        tcan = state.T_air[:, self.ntop - 1]
+        q_top = state.q_air[:, self.ntop - 1]
+        eair_top = q_top * self.pref
+        factor = (MM_H2O / MM_DRY_AIR) / (
+            self.pref - (1.0 - MM_H2O / MM_DRY_AIR) * eair_top)
+        qcan = eair_top * factor
+
+        ones = jnp.ones(nc, dtype)
+        tinp = bt.derive_inputs(
+            hc=mlc_problem.HC * ones, zref=46.0 * ones,
+            pref=self.pref * ones, uref=self.uref * ones,
+            qref=self.qref * ones, tref=self.tref * ones,
+            tcan=tcan, qcan=qcan, pai=mlc_problem.PAI * ones)
+        taux, wind, ga = bt.presolve(self.tables, tinp,
+                                     np.broadcast_to(self.zs, (nc,
+                                                               self.nlev)),
+                                     self.ntop)
+
+        # ---- longwave (block solve) -----------------------------------
+        lw = self.lw
+        gt = jnp.zeros((nc, nlev), dtype).at[:, 0].set(state.T_air[:, 0])
+        lw.ground_temperature = gt.reshape(-1)
+        lw.leaf_temperature = jnp.stack(
+            [state.T_sun.reshape(-1), state.T_shd.reshape(-1)], axis=1)
+        lw.leaf_fssh = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(self.fssh_lev),
+                              (nc, nlev)).reshape(-1),
+             jnp.broadcast_to(1.0 - jnp.asarray(self.fssh_lev),
+                              (nc, nlev)).reshape(-1)], axis=1)
+        x_lw = self.lw_tpl.solve(lw.matrix_values(), lw.rhs())
+        iabs_lw = x_lw[..., 2]                       # [nc, nlev]
+        dpai_b = jnp.broadcast_to(jnp.asarray(self.dpai_lev), (nc, nlev))
+        labs = jnp.where(self.dpai_pos,
+                         iabs_lw / jnp.where(dpai_b == 0, 1.0, dpai_b), 0.0)
+        labs_soil = iabs_lw[:, 0]
+
+        # ---- leaf boundary layer --------------------------------------
+        lbl = self.lbl
+        tleaf2 = jnp.concatenate([state.T_sun.reshape(-1),
+                                  state.T_shd.reshape(-1)])
+        tair2 = jnp.tile(state.T_air.reshape(-1), 2)
+        wind2 = jnp.tile(wind.reshape(-1), 2)
+        lbl.tleaf, lbl.tair, lbl.wind = tleaf2, tair2, wind2
+        lbl.pref = jnp.full(2 * nc * nlev, self.pref, dtype)
+        lbl.tref = jnp.full(2 * nc * nlev, self.tref, dtype)
+        lbl.compute()
+        gbh2, gbv2, gbc2 = lbl.gbh, lbl.gbv, lbl.gbc
+
+        # ---- photosynthesis (batched masked Newton) --------------------
+        eair_lev = jnp.tile((state.q_air * self.pref).reshape(-1), 2)
+        p = self._psy_params0._replace(
+            tleaf=tleaf2, gbv=gbv2, gbc=gbc2, eair=eair_lev)
+        x0 = jnp.full((2 * nc * nlev, 1), 0.9 * self.co2ref, dtype)
+        res, bounded = bp.solve(self.psy_cfg, p, x0)
+        out = bp.post_solve(self.psy_cfg, p, res.x, bounded)
+        gs2 = jnp.where(bounded[:, 0], out.gs, ph.GS_MIN)
+        gs_sun = gs2[:nc * nlev].reshape(nc, nlev)
+        gs_shd = gs2[nc * nlev:].reshape(nc, nlev)
+
+        # ---- MLC (block solve) -----------------------------------------
+        gbh_sun = gbh2[:nc * nlev].reshape(nc, nlev)
+        gbh_shd = gbh2[nc * nlev:].reshape(nc, nlev)
+        gbv_sun = gbv2[:nc * nlev].reshape(nc, nlev)
+        gbv_shd = gbv2[nc * nlev:].reshape(nc, nlev)
+        rn_sun = jnp.asarray(self.rn_sw_sun) + labs
+        rn_shd = jnp.asarray(self.rn_sw_shd) + labs
+        soil_rn = self.isoil_sw + labs_soil
+
+        inp = bmlc.MLCBlockInputs(
+            at_T=state.T_air, av_q=state.q_air,
+            leaf_T=jnp.stack([state.T_sun, state.T_shd], axis=-1),
+            soil_rn=soil_rn,
+            gbh_air=jnp.stack([gbh_sun, gbh_shd], axis=-1),
+            gbv_air=jnp.stack([gbv_sun, gbv_shd], axis=-1),
+            leaf_gs=jnp.stack([gs_sun, gs_shd], axis=-1),
+            leaf_gbh=jnp.stack([gbh_sun, gbh_shd], axis=-1),
+            leaf_gbv=jnp.stack([gbv_sun, gbv_shd], axis=-1),
+            leaf_rn=jnp.stack([rn_sun, rn_shd], axis=-1),
+            conn_ga=ga[:, :nlev - 1],
+            bc_ga=ga[:, nlev - 1],
+            **self.mlc_static)
+        x = bmlc.step(inp, dt)
+
+        return CanopyState(
+            T_air=x[:, :, 0],      # level 0 = eliminated ground temperature
+            q_air=x[:, :, 1],
+            T_sun=jnp.where(self.dpai_pos, x[:, :, 2], state.T_sun),
+            T_shd=jnp.where(self.dpai_pos, x[:, :, 3], state.T_shd))

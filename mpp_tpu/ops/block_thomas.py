@@ -15,6 +15,7 @@ All functions are pure jnp, jit/vmap/shard_map compatible.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -32,7 +33,17 @@ def block_thomas(L, D, U, b):
     Forward elimination with dense [m, m] solves per level (m is small:
     2-8 for the canopy systems), then back-substitution; both are
     ``lax.scan`` over levels with the batch axes vectorized.
+
+    The tiny matmuls run at HIGHEST precision: the TPU default (bf16
+    MXU passes) loses ~3 decimal digits per level and visibly corrupts
+    the recurrence over ~100 levels; these ops are VPU-bound at m<=8,
+    so full f32 costs nothing.
     """
+    with jax.default_matmul_precision("highest"):
+        return _block_thomas_impl(L, D, U, b)
+
+
+def _block_thomas_impl(L, D, U, b):
     # move level axis to front for scan: [n, ..., m, m]
     nd = b.ndim
     Lt = jnp.moveaxis(L, nd - 2, 0)
