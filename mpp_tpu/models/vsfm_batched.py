@@ -202,8 +202,12 @@ def newton_solve(P0, accum_prev, dt, bc_top, bc_bot, p: ColumnParams,
             return ls_state[2]
 
         scale0 = jnp.ones_like(fnorm)
+        # initial "keep searching" flag derived from the (possibly
+        # device-varying) state so shard_map's varying-axes check accepts
+        # the while_loop carry
+        keep0 = jnp.any(fnorm >= 0.0) | jnp.isnan(fnorm).any()
         scale, _, _ = lax.while_loop(
-            ls_cond, ls_body, (scale0, fnorm, jnp.array(True)))
+            ls_cond, ls_body, (scale0, fnorm, keep0))
         P_new = P - jnp.where(done[..., None], 0.0, scale[..., None] * dP)
         dP = scale[..., None] * dP
         F_new, _ = residual_and_jac(P_new, accum_prev, dt, bc_top, bc_bot,
@@ -241,7 +245,10 @@ def step_dt_snes(P_prev, dt, bc_top, bc_bot, p: ColumnParams, max_cuts=20,
     """
     dtype = P_prev.dtype
     ncol = P_prev.shape[0]
-    dt_total = jnp.broadcast_to(jnp.asarray(dt, dtype), (ncol,))
+    # every per-column carry derives from P_prev so its device-varying
+    # type matches the loop body under shard_map
+    zcol = P_prev[:, 0] * 0.0
+    dt_total = jnp.asarray(dt, dtype) + zcol
 
     def cond(state):
         P, t, dtc, ncuts, failed, iters, reason = state
@@ -265,10 +272,9 @@ def step_dt_snes(P_prev, dt, bc_top, bc_bot, p: ColumnParams, max_cuts=20,
         reason = jnp.where(ok, rsn, reason)
         return (P, t, dtc, ncuts, failed, iters + it, reason)
 
-    z = jnp.zeros((ncol,), dtype)
-    state0 = (P_prev, z, dt_total, jnp.zeros((ncol,), jnp.int32),
-              jnp.zeros((ncol,), bool), jnp.zeros((), jnp.int32),
-              jnp.zeros((ncol,), jnp.int32))
+    state0 = (P_prev, zcol, dt_total, zcol.astype(jnp.int32),
+              zcol < -1.0, jnp.zeros((), jnp.int32),
+              zcol.astype(jnp.int32))
     P, t, dtc, ncuts, failed, iters, reason = lax.while_loop(
         cond, body, state0)
     return P, iters, (t >= dt_total) & ~failed, reason
