@@ -91,6 +91,33 @@ def thermal_soil_aux(T, liq, ice, snow_water, num_snow_layer, tuning,
     return therm_cond, heat_cap
 
 
+_THIN_SFCLAYER = 1.0e-6  # thin-surface-layer threshold (Snow/SSW aux types)
+
+
+def thermal_snow_aux(liq, ice, frac, dz):
+    """Vectorized ``ThermKSPTempSnowAuxVarCompute``
+    (ThermalKSPTemperatureSnowAuxType.F90:55-86): snow bulk-density
+    conductivity and per-volume heat capacity."""
+    frac_safe = jnp.where(frac > 0.0, frac, 1.0)
+    bw = (ice + liq) / (frac_safe * dz)
+    k = C.TKAIR + (7.75e-5 * bw + 1.105e-6 * bw * bw) * (C.TKICE - C.TKAIR)
+    cap = jnp.where(frac > 0.0,
+                    jnp.maximum(_THIN_SFCLAYER,
+                                (C.CPLIQ * liq + C.CPICE * ice) / frac_safe),
+                    _THIN_SFCLAYER)
+    return k, cap / dz
+
+
+def thermal_ssw_aux(frac, dz):
+    """Vectorized ``ThermKSPTempSSWAuxVarCompute``
+    (ThermalKSPTemperatureSSWAuxType.F90:45-74): standing surface water."""
+    k = jnp.full_like(frac, C.TKWAT)
+    thick = (dz * frac * 1.0e3 > _THIN_SFCLAYER) & (frac > _THIN_SFCLAYER)
+    cap = jnp.where(thick, max(_THIN_SFCLAYER, C.CPLIQ * C.DENH2O),
+                    _THIN_SFCLAYER)
+    return k, cap
+
+
 def _harmonic(k_up, k_dn, d_up, d_dn):
     """Distance-weighted harmonic mean conductivity
     (GoveqnThermalKSPTemperatureSoilType.F90:997-999)."""
@@ -147,6 +174,11 @@ class ThermalSoilGE:
         self.bc_frac = jnp.ones(nbc)
         self.bc_value = jnp.zeros(nbc)
         self.bc_dhsdT = jnp.zeros(nbc)
+        # exchanged state for COND_DIRICHLET_FRM_OTR_GOVEQ conns
+        # (ThermalSOEGovEqnExchangeAuxVars copies VAR_TEMPERATURE /
+        # VAR_THERMAL_COND from the coupled GE's cells)
+        self.bc_exch_T = jnp.zeros(nbc)
+        self.bc_exch_k = jnp.ones(nbc)
         # BC auxvar property copies (filled by set_soils)
         self.bc_lun_type = np.zeros(nbc, np.int32)
         self.bc_is_shallow = np.ones(nbc, bool)
@@ -202,6 +234,27 @@ class ThermalSoilGE:
         cols += [bc_ids]
         return (np.concatenate(rows) + row_off, np.concatenate(cols) + col_off)
 
+    def coupling_coords(self, row_off: int, col_off_by_rank: dict):
+        """Off-diagonal COO coordinates for cross-GE Dirichlet coupling
+        (ComputeOperatorsOffDiag, GoveqnThermalKSPTemperatureSnowType.F90:
+        1202-1300): row = this GE's conn cell (id_dn), col = the coupled
+        GE's cell (id_up), in _bc_concat order over FRM_OTR conns."""
+        rows, cols = [], []
+        for cond in self.boundary_conditions:
+            if cond.itype != int(Cond.DIRICHLET_FRM_OTR_GOVEQ):
+                continue
+            other = getattr(cond, "other_geq_rank", None)
+            if other is None:
+                raise ValueError(f"coupling condition {cond.name} lacks "
+                                 "other_geq_rank")
+            cs = cond.conn_set
+            rows.append(np.asarray(cs.id_dn, np.int64) + row_off)
+            cols.append(np.asarray(cs.id_up, np.int64)
+                        + col_off_by_rank[other])
+        if not rows:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(rows), np.concatenate(cols)
+
     def aux(self, T):
         """Internal-cell aux update (UpdateAuxVarsIntrn)."""
         return thermal_soil_aux(
@@ -213,25 +266,33 @@ class ThermalSoilGE:
 
     def bc_aux(self, T):
         """BC auxvar update (UpdateAuxVarsBC): Dirichlet BCs take the
-        condition value as temperature, flux BCs mirror the internal cell;
-        conductivity evaluated with the BC auxvar's own property copies and
-        the adjacent cell's dz."""
+        condition value as temperature, flux BCs mirror the internal cell,
+        cross-GE Dirichlet conns take the exchanged temperature AND
+        conductivity; conductivity otherwise evaluated with the BC
+        auxvar's own property copies and the adjacent cell's dz."""
         bc_ids, _, _, _, code = self._bc_concat()
         if bc_ids.size == 0:
             z = jnp.zeros(0)
             return z, z
         is_dirichlet = np.isin(code, (int(Cond.DIRICHLET),))
+        is_otr = code == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
         T_bc = jnp.where(jnp.asarray(is_dirichlet), self.bc_value,
                          T[jnp.asarray(bc_ids)])
+        T_bc = jnp.where(jnp.asarray(is_otr), self.bc_exch_T, T_bc)
+        k_bc = self._bc_own_conductivity(T_bc, bc_ids)
+        k_bc = jnp.where(jnp.asarray(is_otr), self.bc_exch_k, k_bc)
+        return T_bc, k_bc
+
+    def _bc_own_conductivity(self, T_bc, bc_ids):
         dz_bc = jnp.asarray(self.mesh.dz)[jnp.asarray(bc_ids)]
-        k_bc, cap_bc = thermal_soil_aux(
+        k_bc, _cap = thermal_soil_aux(
             T_bc,
             jnp.zeros_like(T_bc), jnp.zeros_like(T_bc), jnp.zeros_like(T_bc),
             jnp.zeros_like(T_bc, dtype=jnp.int32), jnp.ones_like(T_bc),
             self.bc_lun_type, self.bc_is_shallow, jnp.asarray(self.bc_por),
             jnp.asarray(self.bc_tkmg), jnp.asarray(self.bc_tkdry),
             jnp.asarray(self.bc_csol), dz_bc)
-        return T_bc, k_bc
+        return k_bc
 
     def contributions(self, T, dt, cnfac, ss_values):
         """A-values (ordered per coo_coords) and rhs b.
@@ -298,8 +359,16 @@ class ThermalSoilGE:
                                                              0.0))),
                                0.0)
             b = b.at[bids].add(bc_rhs)
+            # implicit cross-GE off-diagonal (-d flux/d T_other), aligned
+            # with coupling_coords' FRM_OTR subset
+            otr_mask = bcode == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
+            cpl_all = jnp.where(bc_active,
+                                -self.bc_frac * (1.0 - cnfac) * kavg_b
+                                / dist_b * area_b, 0.0)
+            cpl_vals = cpl_all[jnp.asarray(np.nonzero(otr_mask)[0])]
         else:
             bc_diag = jnp.zeros(0)
+            cpl_vals = jnp.zeros(0)
 
         # source sinks: COND_HEAT_RATE adds the raw value (Divergence:937-970)
         ss_ids, ss_code = self._ss_concat()
@@ -308,7 +377,7 @@ class ThermalSoilGE:
             b = b.at[sids].add(jnp.where(active[sids], ss_values, 0.0))
 
         vals = jnp.concatenate([diag_vals, intr_vals, bc_diag])
-        return vals, b
+        return vals, b, cpl_vals
 
     # -- property staging (MPPThermalSetSoils) -------------------------------
     def set_soils(self, filter_thermal, lun_type, watsat, csol, tkmg, tkdry,
@@ -347,6 +416,62 @@ class ThermalSoilGE:
         self.bc_csol = self.csol[bc_ids]
 
 
+@dataclasses.dataclass
+class ThermalSnowGE(ThermalSoilGE):
+    """Snow thermal governing equation (GE_THERM_SNOW_TBASED,
+    GoveqnThermalKSPTemperatureSnowType.F90).  Same assembly skeleton as
+    the soil GE; the constitutive model is the snow bulk-density law and
+    the media couple through COND_DIRICHLET_FRM_OTR_GOVEQ conns."""
+    itype: int = int(GEType.THERM_SNOW_TBASED)
+
+    def allocate_auxvars(self) -> None:
+        super().allocate_auxvars()
+        n = self.mesh.ncells_all
+        self.frac = jnp.ones(n)
+
+    def aux(self, T):
+        return thermal_snow_aux(self.liq_areal_den, self.ice_areal_den,
+                                self.frac, jnp.asarray(self.mesh.dz))
+
+    def _bc_own_conductivity(self, T_bc, bc_ids):
+        k_cell, _ = self.aux(None)
+        return k_cell[jnp.asarray(bc_ids)]
+
+    def update_top_flux_conn(self):
+        """Rewire the top heat-flux BC to the topmost ACTIVE snow layer of
+        each column (ThermKSPTempSnowUpdateBoundaryConn :680-689: snow
+        layers fill bottom-up, so the connection lands at
+        nlevsno - num_snow_layer)."""
+        nlev = self.mesh.nlev
+        nsl = np.asarray(self.num_snow_layer).reshape(-1, nlev)[:, -1]
+        for cond in self.boundary_conditions:
+            if cond.itype == int(Cond.HEAT_FLUX):
+                ncols = cond.conn_set.num_connections
+                base = np.arange(ncols) * nlev
+                cond.conn_set.id_dn = (base + nlev
+                                       - np.minimum(nsl, nlev)).astype(
+                    cond.conn_set.id_dn.dtype)
+
+
+@dataclasses.dataclass
+class ThermalSSWGE(ThermalSoilGE):
+    """Standing-surface-water thermal GE (GE_THERM_SSW_TBASED,
+    GoveqnThermalKSPTemperatureSSWType.F90)."""
+    itype: int = int(GEType.THERM_SSW_TBASED)
+
+    def allocate_auxvars(self) -> None:
+        super().allocate_auxvars()
+        n = self.mesh.ncells_all
+        self.frac = jnp.ones(n)
+
+    def aux(self, T):
+        return thermal_ssw_aux(self.frac, jnp.asarray(self.mesh.dz))
+
+    def _bc_own_conductivity(self, T_bc, bc_ids):
+        k_cell, _ = self.aux(None)
+        return k_cell[jnp.asarray(bc_ids)]
+
+
 class ThermalSOE:
     """System of equations for SOE_THERMAL_TBASED (KSP).
 
@@ -373,9 +498,15 @@ class ThermalSOE:
 
     def setup(self):
         offs = np.cumsum([0] + [g.mesh.ncells_local for g in self.goveqns])
+        col_off_by_rank = {i + 1: offs[i] for i in range(len(self.goveqns))}
         rows, cols = [], []
         for g, off in zip(self.goveqns, offs[:-1]):
             r, c = g.coo_coords(off, off)
+            rows.append(r)
+            cols.append(c)
+        # cross-GE off-diagonal blocks (ComputeOperatorsOffDiag)
+        for g, off in zip(self.goveqns, offs[:-1]):
+            r, c = g.coupling_coords(off, col_off_by_rank)
             rows.append(r)
             cols.append(c)
         n = self.n_total
@@ -385,6 +516,38 @@ class ThermalSOE:
         self.soln = jnp.zeros(n)
         self.soln_prev = jnp.zeros(n)
         self.soln_prev_clm = jnp.zeros(n)
+
+    def exchange_auxvars(self, T):
+        """Cross-GE BC staging (ThermalSOEGovEqnExchangeAuxVars,
+        SystemOfEquationsThermalType.F90:770-919): every FRM_OTR condition
+        receives the coupled GE's cell temperature and thermal
+        conductivity at the conn's id_up cells."""
+        ks = []
+        for g, off in zip(self.goveqns, self.offsets[:-1]):
+            Tg = T[off:off + g.mesh.ncells_local]
+            k, _cap = g.aux(Tg)
+            ks.append(k)
+        for g, off in zip(self.goveqns, self.offsets[:-1]):
+            if not g.boundary_conditions:
+                continue
+            exch_T = []
+            exch_k = []
+            for cond in g.boundary_conditions:
+                m = cond.conn_set.num_connections
+                if cond.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ):
+                    rank = cond.other_geq_rank
+                    other = self.goveqns[rank - 1]
+                    ooff = self.offsets[rank - 1]
+                    ids = jnp.asarray(np.asarray(cond.conn_set.id_up,
+                                                 np.int64))
+                    exch_T.append(T[ooff:ooff
+                                    + other.mesh.ncells_local][ids])
+                    exch_k.append(ks[rank - 1][ids])
+                else:
+                    exch_T.append(jnp.zeros(m))
+                    exch_k.append(jnp.ones(m))
+            g.bc_exch_T = jnp.concatenate(exch_T)
+            g.bc_exch_k = jnp.concatenate(exch_k)
 
     def set_soln_prev_clm(self, data):
         self.soln_prev_clm = jnp.asarray(data, dtype=jnp.float64)
@@ -405,14 +568,20 @@ class ThermalSOE:
         Thomas sweep (ops/block_structure.py)."""
         tpl = self.template
         T = self.soln_prev
-        vals_list, b_list = [], []
+        self.exchange_auxvars(T)
+        vals_list, b_list, cpl_list = [], [], []
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             Tg = T[off:off + g.mesh.ncells_local]
             ss_vals = getattr(g, "ss_values", jnp.zeros(0))
-            v, b = g.contributions(Tg, dt, self.cnfac, ss_vals)
+            v, b, cpl = g.contributions(Tg, dt, self.cnfac, ss_vals)
             vals_list.append(v)
             b_list.append(b)
+            cpl_list.append(cpl)
         if solver == "block":
+            if any(int(c.shape[0]) for c in cpl_list):
+                raise NotImplementedError(
+                    "block solver does not support cross-GE coupling yet; "
+                    "use solver='ksp'")
             if self._block_tpl is None:
                 from mpp_tpu.ops.block_structure import (
                     BlockTridiagTemplate, chain_shape)
@@ -435,6 +604,7 @@ class ThermalSOE:
             for g, off in zip(self.goveqns, self.offsets[:-1]):
                 g.temperature = self.soln[off:off + g.mesh.ncells_local]
             return True
+        vals_list += cpl_list
         data = np.asarray(tpl.assemble(jnp.concatenate(vals_list)))
         b = np.asarray(jnp.concatenate(b_list))
         # PETSc-default KSP: GMRES(30) + ILU(0), rtol 1e-5 — the golden
@@ -479,12 +649,51 @@ class ThermalMPP:
         self.meshes.append(mesh)
 
     def add_goveqn(self, ge_type, name, mesh_itype=None, mesh_index=None):
-        if ge_type != GEType.THERM_SOIL_TBASED:
+        cls = {GEType.THERM_SOIL_TBASED: ThermalSoilGE,
+               GEType.THERM_SNOW_TBASED: ThermalSnowGE,
+               GEType.THERM_SSW_TBASED: ThermalSSWGE}.get(ge_type)
+        if cls is None:
             raise NotImplementedError(f"GE {ge_type} not yet implemented")
         idx = mesh_index if mesh_index is not None else len(self.soe.goveqns)
-        ge = ThermalSoilGE(name=name, mesh=self.meshes[idx])
+        ge = cls(name=name, mesh=self.meshes[idx])
         self.soe.goveqns.append(ge)
         return len(self.soe.goveqns)
+
+    def add_coupling_condition(self, ieqn_1, ieqn_2, iregion_1, iregion_2):
+        """MPPGovEqnAddCouplingCondition + ThermalMPPUpdatCouplingBCConnections
+        (MultiPhysicsProbBaseType.F90:1017-1056,
+        MultiPhysicsProbThermal.F90:443-570): a COND_DIRICHLET_FRM_OTR_GOVEQ
+        BC on EACH GE whose conn set pairs this GE's region cells (id_dn)
+        with the coupled GE's region cells (id_up)."""
+        from mpp_tpu.dtypes.regions import region_connection_set
+        from mpp_tpu.dtypes.mesh import ConnectionSet
+
+        ge1 = self.soe.goveqns[ieqn_1 - 1]
+        ge2 = self.soe.goveqns[ieqn_2 - 1]
+        cs1 = region_connection_set(ge1.mesh, iregion_1)
+        cs2 = region_connection_set(ge2.mesh, iregion_2)
+        if cs1.num_connections != cs2.num_connections:
+            raise ValueError("coupling regions differ in size")
+
+        def make(cs_mine, cs_other, other_rank):
+            cs = ConnectionSet(
+                id_up=np.asarray(cs_other.id_dn, np.int32),
+                id_dn=np.asarray(cs_mine.id_dn, np.int32),
+                dist_up=np.asarray(cs_other.dist_dn),
+                dist_dn=np.asarray(cs_mine.dist_dn),
+                area=np.asarray(cs_mine.area),
+                itype=np.asarray(cs_mine.itype),
+                unit_vec=cs_mine.unit_vec)
+            cond = Condition(
+                name=f"BC_for_coupling_with_equation_{other_rank}",
+                units="[K]", itype=int(Cond.DIRICHLET_FRM_OTR_GOVEQ),
+                conn_set=cs)
+            cond.ensure_value()
+            cond.other_geq_rank = other_rank
+            return cond
+
+        ge1.boundary_conditions.append(make(cs1, cs2, ieqn_2))
+        ge2.boundary_conditions.append(make(cs2, cs1, ieqn_1))
 
     def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
                                 cond_type, region=None, conn_set=None):
@@ -529,6 +738,14 @@ class ThermalMPP:
                 g.liq_areal_den = data
             elif var_type == Var.ICE_AREAL_DEN:
                 g.ice_areal_den = data
+            elif var_type == Var.FRAC:
+                g.frac = data
+            elif var_type == Var.SNOW_WATER:
+                g.snow_water = data
+            elif var_type == Var.NUM_SNOW_LYR:
+                g.num_snow_layer = jnp.asarray(np.asarray(data), jnp.int32)
+            elif var_type == Var.ACTIVE:
+                g.mesh.set_grid_cell_filter(np.asarray(data) != 0)
             else:
                 raise NotImplementedError(var_type)
         elif auxvar_kind == AuxVarKind.BC:
