@@ -156,16 +156,15 @@ def bench_newton(jax, jnp):
     P1, iters, done = step(P0)
     assert bool(done.all())
 
-    nsteps = 5
+    nsteps = 4
 
-    @jax.jit
-    def run(P):
-        def body(_, Pc):
-            Pn, _, _ = step(Pc)
-            return Pn
-        return jax.lax.fori_loop(0, nsteps, body, P).sum()
+    def run():
+        P = P1
+        for _ in range(nsteps):
+            P, _, _ = step(P)
+        return P.sum()
 
-    dt = _time_scalar(lambda: run(P0), lat) / nsteps
+    dt = (_time_scalar(run, lat) - (nsteps - 1) * lat) / nsteps
     return {
         "ncol": ncol, "nz": nz, "dtype": "float32",
         "newton_iters_first_step": int(iters),
@@ -181,23 +180,23 @@ def bench_canopy(jax, jnp):
     (ml_model_problem.F90:377-409)."""
     from mpp_tpu.batched.canopy_pipeline import CanopyPipeline
 
-    ncair = 512
+    ncair = 256
     pipe = CanopyPipeline(ncair=ncair, dtype=jnp.float32)
-    state = pipe.initial_state()
+    state0 = pipe.initial_state()
     step = jax.jit(lambda s: pipe.substep(s))
-    state = step(state)  # compile + settle one substep
-    jax.block_until_ready(state)
+    state0 = step(state0)  # compile + settle one substep
+    jax.block_until_ready(state0)
     lat = _latency(jax, jnp)
 
     nsub = 4
 
-    @jax.jit
-    def run(s):
+    def run():
+        s = state0
         for _ in range(nsub):
             s = step(s)
         return s.T_air.sum()
 
-    dt = _time_scalar(lambda: run(state), lat) / nsub
+    dt = (_time_scalar(run, lat) - (nsub - 1) * lat) / nsub
     return {
         "ncair": ncair, "nlev": pipe.nlev, "dtype": "float32",
         "ms_per_substep": dt * 1e3,
@@ -281,27 +280,43 @@ def bench_scaling():
     return json.loads(line)
 
 
+SECTIONS = {"spmv": 300, "vsfm_newton": 300, "canopy_pipeline": 420}
+
+
+def _run_section(name, budget_s):
+    """Each device section runs in its own subprocess under a hard
+    timeout: the driver's TPU tunnel can stall indefinitely, and one
+    wedged section must not take down the whole benchmark."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--section", name],
+        capture_output=True, text=True, timeout=budget_s,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def _section_main(name):
+    import jax
+    import jax.numpy as jnp
+    fn = {"spmv": bench_spmv, "vsfm_newton": bench_newton,
+          "canopy_pipeline": bench_canopy}[name]
+    print(json.dumps(fn(jax, jnp)))
+
+
 def main():
     if "--scaling-worker" in sys.argv:
         bench_scaling_worker()
         return
-
-    import jax
-    import jax.numpy as jnp
+    if "--section" in sys.argv:
+        _section_main(sys.argv[sys.argv.index("--section") + 1])
+        return
 
     detail = {}
-    try:
-        detail["spmv"] = bench_spmv(jax, jnp)
-    except Exception as e:  # noqa: BLE001
-        detail["spmv"] = {"error": repr(e)[:300]}
-    try:
-        detail["vsfm_newton"] = bench_newton(jax, jnp)
-    except Exception as e:  # noqa: BLE001
-        detail["vsfm_newton"] = {"error": repr(e)[:300]}
-    try:
-        detail["canopy_pipeline"] = bench_canopy(jax, jnp)
-    except Exception as e:  # noqa: BLE001
-        detail["canopy_pipeline"] = {"error": repr(e)[:300]}
+    for name, budget in SECTIONS.items():
+        try:
+            detail[name] = _run_section(name, budget)
+        except Exception as e:  # noqa: BLE001
+            detail[name] = {"error": repr(e)[:300]}
     try:
         detail["scaling"] = bench_scaling()
     except Exception as e:  # noqa: BLE001

@@ -22,6 +22,7 @@ from mpp_tpu.constants import (GEType, GRAVITY_CONSTANT, TFRZ, VISC_0C,
                                MOD_DIFF_HEAT_OC, MOD_DIFF_H2O_OC,
                                MOD_DIFF_CO2_OC)
 from mpp_tpu.dtypes.mesh import Mesh
+from mpp_tpu.dtypes.mpp_base import MPPBase
 
 # Fortran default-real literal 0.33 promoted to double
 _EXP_TURB = float(np.float32(0.33))
@@ -86,40 +87,25 @@ class LeafBoundaryLayerGE:
         return self.gbh, self.gbv, self.gbc
 
 
-class LBLMPP:
+class LBLMPP(MPPBase):
     """mpp_lbl_type facade."""
 
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.goveqns: List[LeafBoundaryLayerGE] = []
 
     @property
     def soe(self):
         return self
 
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh):
-        self.meshes.append(mesh)
+    def _goveqns(self):
+        return self.goveqns
 
     def add_goveqn(self, name="leaf boundary layer", mesh_index=None):
         idx = mesh_index if mesh_index is not None else len(self.goveqns)
         ge = LeafBoundaryLayerGE(name=name, mesh=self.meshes[idx])
         self.goveqns.append(ge)
         return len(self.goveqns)
-
-    def allocate_auxvars(self):
-        for g in self.goveqns:
-            g.allocate_auxvars()
 
     def setup_problem(self):
         pass

@@ -41,6 +41,7 @@ import math
 import numpy as np
 
 from mpp_tpu.constants import (GEType, SOEType, Var, TFRZ, RGAS)
+from mpp_tpu.dtypes.mpp_base import MPPBase
 
 # Stomatal conductance model ids (MultiPhysicsProbConstants.F90:150-170)
 SCM_MEDLYN = 1
@@ -915,26 +916,15 @@ class PhotosynthesisSoE:
         return reason > 0, reason
 
 
-class PhotosynthesisMPP:
+class PhotosynthesisMPP(MPPBase):
     """mpp_photosynthesis_type facade (MPP_PHOTOSYNTHESIS_SNES)."""
 
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[object] = []
+        super().__init__()
         self.soe = PhotosynthesisSoE()
 
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh):
-        self.meshes.append(mesh)
+    def _goveqns(self):
+        return [self.soe.ge] if self.soe.ge is not None else []
 
     def add_goveqn(self, name="Photosynthesis model", mesh_index=0):
         self.soe.ge = PhotosynthesisGE(name=name,
@@ -943,12 +933,6 @@ class PhotosynthesisMPP:
 
     def set_dofs_for_goveqn(self, ieqn, dof):
         self.soe.ge.dof = int(dof)
-
-    def allocate_auxvars(self, c3psn, gstype):
-        self.soe.ge.allocate_auxvars(c3psn, gstype)
-
-    def setup_problem(self):
-        self.soe.setup()
 
     def get_data(self, var_type):
         return self.soe.ge.get_r_values(var_type)

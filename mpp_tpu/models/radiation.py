@@ -27,6 +27,7 @@ from mpp_tpu.constants import (Cond, GEType, SOEType, Var, AuxVarKind,
                                STEFAN_BOLTZMAN_CONSTANT)
 from mpp_tpu.dtypes.mesh import Mesh, ConnectionSet, concat_connection_sets
 from mpp_tpu.dtypes.conditions import Condition
+from mpp_tpu.dtypes.mpp_base import MPPBase
 from mpp_tpu.ops.sparse import csr_template, CSRTemplate
 from mpp_tpu.ops.ilu import ILU0, petsc_gmres
 
@@ -323,16 +324,14 @@ class LongwaveGE:
         self.Iup, self.Idn, self.Iabs = x[:, 0], x[:, 1], x[:, 2]
 
 
-class _RadiationMPPBase:
+class _RadiationMPPBase(MPPBase):
     """Shared facade for the single-GE KSP canopy problems."""
 
     GE_CLS = None
     MPP_ID = 0
 
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.goveqns = []
         self._ilu_cache = {}
         self.template: Optional[CSRTemplate] = None
@@ -343,35 +342,14 @@ class _RadiationMPPBase:
     def soe(self):
         return self
 
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh: Mesh):
-        self.meshes.append(mesh)
+    def _goveqns(self):
+        return self.goveqns
 
     def add_goveqn(self, name="ge", mesh_index=None):
         idx = mesh_index if mesh_index is not None else len(self.goveqns)
         ge = self.GE_CLS(name=name, mesh=self.meshes[idx])
         self.goveqns.append(ge)
         return len(self.goveqns)
-
-    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
-                                cond_type, conn_set=None):
-        cond = Condition(name=name, units=unit, itype=int(cond_type),
-                         conn_set=conn_set)
-        cond.ensure_value()
-        self.goveqns[ieqn - 1].boundary_conditions.append(cond)
-        return cond
-
-    def allocate_auxvars(self):
-        for g in self.goveqns:
-            g.allocate_auxvars()
 
     def setup_problem(self):
         pass

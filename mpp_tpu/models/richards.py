@@ -41,6 +41,7 @@ from mpp_tpu.constants import (Cond, GEType, SOEType, Var, AuxVarKind,
 from mpp_tpu.dtypes.mesh import Mesh, ConnectionSet, concat_connection_sets
 from mpp_tpu.dtypes.conditions import Condition
 from mpp_tpu.dtypes.regions import region_connection_set
+from mpp_tpu.dtypes.mpp_base import MPPBase
 from mpp_tpu.ops.sparse import csr_template, CSRTemplate
 from mpp_tpu.ops import eos, satfunc as sf
 from mpp_tpu.ops.porosity import PorosityParams, porosity
@@ -914,52 +915,16 @@ class VSFMSoE:
         return np.asarray(self.soln)
 
 
-class VSFMMPP:
+class VSFMMPP(MPPBase):
     """mpp_vsfm_type facade with the 8-step builder contract."""
 
+    GE_CLASSES = {GEType.RE: RichardsGE}
+    SS_COND_TYPES = (Cond.MASS_RATE, Cond.DOWNREG_MASS_RATE_CAMPBELL,
+                     Cond.DOWNREG_MASS_RATE_FETCH2)
+
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.soe = VSFMSoE()
-
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh: Mesh):
-        self.meshes.append(mesh)
-
-    def add_goveqn(self, ge_type, name, mesh_index=None):
-        if ge_type != GEType.RE:
-            raise NotImplementedError(ge_type)
-        idx = mesh_index if mesh_index is not None else len(self.soe.goveqns)
-        ge = RichardsGE(name=name, mesh=self.meshes[idx])
-        self.soe.goveqns.append(ge)
-        return len(self.soe.goveqns)
-
-    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
-                                cond_type, region=None, conn_set=None):
-        ge = self.soe.goveqns[ieqn - 1]
-        if conn_set is None and region is not None:
-            conn_set = region_connection_set(ge.mesh, region)
-        cond = Condition(name=name, units=unit, itype=int(cond_type),
-                         conn_set=conn_set)
-        cond.ensure_value()
-        is_ss = cond_type in (Cond.MASS_RATE,
-                              Cond.DOWNREG_MASS_RATE_CAMPBELL,
-                              Cond.DOWNREG_MASS_RATE_FETCH2) \
-            or ss_or_bc_type == Cond.SS
-        if is_ss:
-            ge.source_sinks.append(cond)
-        else:
-            ge.boundary_conditions.append(cond)
-        return cond
 
     def add_coupling_bcs_in_goveqn(self, ieqn, name, unit, id_of_other_goveqs,
                                    conn_set):
@@ -1042,10 +1007,6 @@ class VSFMMPP:
                         ca_j.conductance_dn[oj:oj + m]
                     ca_j.conductance_up[oj:oj + m] = \
                         ca_i.conductance_dn[oi:oi + m]
-
-    def allocate_auxvars(self):
-        for g in self.soe.goveqns:
-            g.allocate_auxvars()
 
     def setup_problem(self, dyn_linesearch=None):
         self.soe.setup()

@@ -34,6 +34,7 @@ from mpp_tpu import constants as C
 from mpp_tpu.constants import Cond, GEType, Var, AuxVarKind
 from mpp_tpu.dtypes.mesh import Mesh, ConnectionSet
 from mpp_tpu.dtypes.conditions import Condition
+from mpp_tpu.dtypes.mpp_base import MPPBase
 from mpp_tpu.ops.sparse import csr_template, CSRTemplate
 from mpp_tpu.ops.ilu import ILU0, petsc_gmres
 
@@ -626,38 +627,21 @@ class ThermalSOE:
         return np.asarray(self.soln)
 
 
-class ThermalMPP:
+class ThermalMPP(MPPBase):
     """Problem facade (mpp_thermal_type) with the 8-step builder contract
     (MultiPhysicsProbBaseType.F90:32-74)."""
 
+    GE_CLASSES = {GEType.THERM_SOIL_TBASED: ThermalSoilGE,
+                  GEType.THERM_SNOW_TBASED: ThermalSnowGE,
+                  GEType.THERM_SSW_TBASED: ThermalSSWGE}
+    SS_COND_TYPES = ()   # routing by COND_BC/COND_SS alone
+
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.soe = ThermalSOE()
 
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass  # list grows dynamically
-
-    def add_mesh(self, mesh: Mesh):
-        self.meshes.append(mesh)
-
     def add_goveqn(self, ge_type, name, mesh_itype=None, mesh_index=None):
-        cls = {GEType.THERM_SOIL_TBASED: ThermalSoilGE,
-               GEType.THERM_SNOW_TBASED: ThermalSnowGE,
-               GEType.THERM_SSW_TBASED: ThermalSSWGE}.get(ge_type)
-        if cls is None:
-            raise NotImplementedError(f"GE {ge_type} not yet implemented")
-        idx = mesh_index if mesh_index is not None else len(self.soe.goveqns)
-        ge = cls(name=name, mesh=self.meshes[idx])
-        self.soe.goveqns.append(ge)
-        return len(self.soe.goveqns)
+        return super().add_goveqn(ge_type, name, mesh_index)
 
     def add_coupling_condition(self, ieqn_1, ieqn_2, iregion_1, iregion_2):
         """MPPGovEqnAddCouplingCondition + ThermalMPPUpdatCouplingBCConnections
@@ -694,28 +678,6 @@ class ThermalMPP:
 
         ge1.boundary_conditions.append(make(cs1, cs2, ieqn_2))
         ge2.boundary_conditions.append(make(cs2, cs1, ieqn_1))
-
-    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
-                                cond_type, region=None, conn_set=None):
-        ge = self.soe.goveqns[ieqn - 1]
-        if conn_set is None and region is not None:
-            from mpp_tpu.dtypes.regions import region_connection_set
-            conn_set = region_connection_set(ge.mesh, region)
-        cond = Condition(name=name, units=unit, itype=int(cond_type),
-                         conn_set=conn_set)
-        cond.ensure_value()
-        if ss_or_bc_type == Cond.BC:
-            ge.boundary_conditions.append(cond)
-        else:
-            ge.source_sinks.append(cond)
-        return cond
-
-    def allocate_auxvars(self):
-        for g in self.soe.goveqns:
-            g.allocate_auxvars()
-
-    def setup_problem(self):
-        self.soe.setup()
 
     # CLM-style data staging -------------------------------------------------
     def set_soils(self, filter_thermal, lun_type, watsat, csol, tkmg, tkdry,

@@ -53,6 +53,7 @@ from mpp_tpu.constants import (Cond, GEType, SOEType, Var, AuxVarKind,
 from mpp_tpu.dtypes.mesh import Mesh
 from mpp_tpu.dtypes.conditions import Condition
 from mpp_tpu.dtypes.regions import region_connection_set
+from mpp_tpu.dtypes.mpp_base import MPPBase
 from mpp_tpu.ops.sparse import csr_template, CSRTemplate
 from mpp_tpu.ops import eos, satfunc as sf
 from mpp_tpu.ops.porosity import PorosityParams, porosity
@@ -737,26 +738,12 @@ class ThermalEnthalpySoE:
         return True, 2
 
 
-class THMPP:
+class THMPP(MPPBase):
     """mpp_th_type facade (MPP_TH_SNES_CLM) with the 8-step builder."""
 
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.soe = THSoE()
-
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh: Mesh):
-        self.meshes.append(mesh)
 
     def add_goveqn(self, ge_type, name, mesh_index=0):
         mesh = self.meshes[mesh_index]
@@ -766,31 +753,6 @@ class THMPP:
             self.soe.ge_energy = ThermalEnthalpyGE(name=name, mesh=mesh)
         else:
             raise NotImplementedError(ge_type)
-
-    def _goveqn(self, ieqn) -> RichardsGE:
-        return self.soe.goveqns[ieqn - 1]
-
-    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
-                                cond_type, region=None, conn_set=None):
-        ge = self._goveqn(ieqn)
-        if conn_set is None and region is not None:
-            conn_set = region_connection_set(ge.mesh, region)
-        cond = Condition(name=name, units=unit, itype=int(cond_type),
-                         conn_set=conn_set)
-        cond.ensure_value()
-        if ss_or_bc_type == Cond.SS or cond_type in (Cond.MASS_RATE,
-                                                     Cond.HEAT_RATE):
-            ge.source_sinks.append(cond)
-        else:
-            ge.boundary_conditions.append(cond)
-        return cond
-
-    def allocate_auxvars(self):
-        for g in self.soe.goveqns:
-            g.allocate_auxvars()
-
-    def setup_problem(self):
-        self.soe.setup()
 
     def set_soils(self, filter_thermal, watsat, csol, tkdry, hksat, bsw,
                   sucsat, residual_sat, satfunc_type, density_type,
@@ -873,50 +835,20 @@ class THMPP:
         self.soe.soln_prev = X
 
 
-class ThermalEnthalpyMPP:
+class ThermalEnthalpyMPP(MPPBase):
     """mpp_thermal_type facade (MPP_THERMAL_EBASED_SNES_CLM)."""
 
     def __init__(self):
-        self.name = ""
-        self.id = 0
-        self.meshes: List[Mesh] = []
+        super().__init__()
         self.soe = ThermalEnthalpySoE()
 
-    def set_name(self, name):
-        self.name = name
-
-    def set_id(self, mpp_id):
-        self.id = int(mpp_id)
-
-    def set_num_meshes(self, n):
-        pass
-
-    def add_mesh(self, mesh: Mesh):
-        self.meshes.append(mesh)
+    def _goveqns(self):
+        return [self.soe.ge] if self.soe.ge is not None else []
 
     def add_goveqn(self, ge_type, name, mesh_index=0):
         assert ge_type == GEType.THERM_SOIL_EBASED
-        self.soe.ge = ThermalEnthalpyGE(name=name, mesh=self.meshes[mesh_index])
-
-    def add_condition_in_goveqn(self, ieqn, ss_or_bc_type, name, unit,
-                                cond_type, region=None, conn_set=None):
-        ge = self.soe.ge
-        if conn_set is None and region is not None:
-            conn_set = region_connection_set(ge.mesh, region)
-        cond = Condition(name=name, units=unit, itype=int(cond_type),
-                         conn_set=conn_set)
-        cond.ensure_value()
-        if ss_or_bc_type == Cond.SS or cond_type == Cond.HEAT_RATE:
-            ge.source_sinks.append(cond)
-        else:
-            ge.boundary_conditions.append(cond)
-        return cond
-
-    def allocate_auxvars(self):
-        self.soe.ge.allocate_auxvars()
-
-    def setup_problem(self):
-        self.soe.setup()
+        self.soe.ge = ThermalEnthalpyGE(name=name,
+                                        mesh=self.meshes[mesh_index])
 
     def set_soils(self, filter_thermal, watsat, csol, tkdry, hksat, bsw,
                   sucsat, residual_sat, satfunc_type, density_type,
