@@ -674,6 +674,27 @@ class RichardsGE:
                 raise ValueError(f"Unknown satfunc type {t}")
         self._copy_params_to_bc_ss()
 
+    def set_relative_permeability(self, relperm_type, p1, p2):
+        """VSFMMPPSetRelativePermeability (MultiPhysicsProbVSFM.F90:
+        1216-1300): override the per-cell relperm model (Weibull d/c or
+        Campbell he/n), with BC/SS auxvar copies."""
+        relperm_type = np.asarray(relperm_type)
+        for icell in range(relperm_type.size):
+            t = int(relperm_type[icell])
+            if t <= 0:
+                continue
+            if t == sf.RELPERM_FUNC_WEIBULL:
+                self.sat_params.set_weibull_relperm(icell, p1[icell],
+                                                    p2[icell])
+            elif t == sf.RELPERM_FUNC_CAMPBELL:
+                self.sat_params.set_campbell_relperm(icell, p1[icell],
+                                                     p2[icell])
+            elif t == sf.RELPERM_FUNC_MUALEM:
+                self.sat_params.relperm_func_type[icell] = t
+            else:
+                raise ValueError(t)
+        self._copy_params_to_bc_ss()
+
     def set_ss_auxvar(self, var_type, values):
         """VSFMMPPSetSourceSinkAuxVarRealValue
         (MultiPhysicsProbVSFM.F90:1437-1520)."""
@@ -1036,6 +1057,10 @@ class VSFMMPP(MPPBase):
                                 sat_res):
         self.soe.goveqns[igoveqn - 1].set_saturation_function(
             satfunc_type, alpha, lam, sat_res)
+
+    def set_relative_permeability(self, igoveqn, relperm_type, p1, p2):
+        self.soe.goveqns[igoveqn - 1].set_relative_permeability(
+            relperm_type, p1, p2)
 
     def set_ss_auxvar(self, igoveqn, var_type, values):
         self.soe.goveqns[igoveqn - 1].set_ss_auxvar(var_type, values)
