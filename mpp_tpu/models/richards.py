@@ -476,7 +476,36 @@ class RichardsGE:
             jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
             jnp.asarray(buvz), internal=False, cond_kind=bcode,
             seepage_mask=seep)
-        dfu = jnp.zeros_like(flux)
+        # Darcy-coupled BCs (COND_DIRICHLET_FRM_OTR_GOVEQ): the up-side
+        # pressure is the partner GE's unknown, so dflux/dP_up is a live
+        # off-diagonal Jacobian entry; for true Dirichlet data it is zero.
+        # The swap_order side reproduces RichardsFlux (RichardsMod.F90:
+        # 96-113): evaluate with up/dn exchanged, then negate value and
+        # derivatives (and exchange their roles).  Deviation from the
+        # reference: the swapped evaluation also flips unit_z so the
+        # gravity term follows the exchanged orientation — the reference
+        # reuses the conn's up->dn unit vector with swapped aux args,
+        # which gives the swapped side's gravity term the wrong sign and
+        # makes vertical Darcy coupling fluxes non-antisymmetric (mass
+        # drift).  Benign in every shipped regression suite (their coupled
+        # conns are horizontal or conductance-type); required for mass
+        # conservation in vsfm_manoli2014-style vertical junctions.  See
+        # KNOWN_GAPS.md.
+        is_otr = np.asarray(bcode == int(Cond.DIRICHLET_FRM_OTR_GOVEQ))
+        dfu = jnp.where(jnp.asarray(is_otr), _dfu, 0.0)
+        swap_np = self._bc_swap_mask() & is_otr
+        if swap_np.any():
+            flux2, dfu2, dfd2 = darcy_flux(
+                P[bids], P_bc, kr[bids], kr_b, dkr[bids], dkr_b,
+                den[bids], den_b, dden[bids], dden_b, vis[bids], vis_b,
+                dvis[bids], dvis_b, jnp.asarray(perm_cell),
+                jnp.asarray(perm_b), jnp.asarray(bdup), jnp.asarray(bddn),
+                jnp.asarray(barea), -jnp.asarray(buvz), internal=False,
+                cond_kind=bcode, seepage_mask=seep)
+            swapj = jnp.asarray(swap_np)
+            flux = jnp.where(swapj, -flux2, flux)
+            dfd = jnp.where(swapj, -dfu2, dfd)
+            dfu = jnp.where(swapj, -dfd2, dfu)
         ca = self.conn_bc
         if ca is not None and ca.any_conductance:
             krg, dkrg_up, dkrg_dn = conductance_krg(
@@ -1095,13 +1124,19 @@ class VSFMMPP(MPPBase):
         """SetDataFromCLM: BC/SS condition values.
 
         ``soe_auxvar_id`` indexes conditions in GE order (BCs then next GE),
-        1-based, matching the SoE auxvar-offset bookkeeping.
+        1-based, matching the SoE auxvar-offset bookkeeping.  Coupling BCs
+        (COND_DIRICHLET_FRM_OTR_GOVEQ) are excluded from the numbering,
+        as in VSFMMPPAllocateAuxVars's
+        GetNCellsInCondsExcptCondItype(COND_BC, COND_DIRICHLET_FRM_OTR_GOVEQ)
+        (MultiPhysicsProbVSFM.F90:786-789).
         """
         data = jnp.asarray(np.asarray(data, np.float64))
         if auxvar_kind == AuxVarKind.BC:
             idx = 0
             for g in self.soe.goveqns:
                 for ci, cond in enumerate(g.boundary_conditions):
+                    if cond.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ):
+                        continue
                     idx += 1
                     if idx == soe_auxvar_id:
                         off = sum(c.num_connections
