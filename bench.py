@@ -165,12 +165,38 @@ def bench_newton(jax, jnp):
         return P.sum()
 
     dt = (_time_scalar(run, lat) - (nsteps - 1) * lat) / nsteps
+
+    # f32-vs-f64 accuracy of the production step (VERDICT r1 item 9):
+    # small heterogeneous wetting problem solved in both precisions on
+    # this device; report pressure deviation + per-column water error
+    import numpy as np
+    nca, nza = 64, 15
+    out = {}
+    for dt_name, dty in (("f32", jnp.float32), ("f64", jnp.float64)):
+        pa = vb.ColumnParams.uniform(nza, dtype=dty)
+        Pa = jnp.full((nca, nza), 3.5355e3, dty)
+        bt = jnp.linspace(8.0e4, 9.8e4, nca, dtype=dty)
+        bb = jnp.full((nca,), 3.5355e3, dty)
+        Pn, it_a, done_a = vb.step_dt(Pa, 1800.0, bt, bb, pa)
+        sat, _, _, _ = vb.vg_sat_kr(Pn, pa)
+        out[dt_name] = (np.asarray(Pn, np.float64),
+                        np.asarray(jnp.sum(sat * pa.por * pa.dz, -1),
+                                   np.float64) * 1e3,
+                        int(np.max(np.asarray(it_a))))
+    p_err = float(np.abs(out["f32"][0] - out["f64"][0]).max())
+    m_err = float(np.abs(out["f32"][1] - out["f64"][1]).max())
+
     return {
         "ncol": ncol, "nz": nz, "dtype": "float32",
         "newton_iters_first_step": int(iters),
         "ms_per_step": dt * 1e3,
         "column_steps_per_s": ncol / dt,
         "cell_steps_per_s": ncol * nz / dt,
+        "f32_accuracy": {
+            "max_pressure_err_vs_f64_Pa": p_err,
+            "max_column_water_err_vs_f64_kg_m2": m_err,
+            "newton_iters_f32_vs_f64": [out["f32"][2], out["f64"][2]],
+        },
     }
 
 

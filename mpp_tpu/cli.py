@@ -126,6 +126,13 @@ def main(argv=None):
 
     jax.config.update("jax_enable_x64", True)
 
+    from mpp_tpu.config import (enable_nan_debug,
+                                maybe_enable_nan_debug_from_env)
+    if "--debug-nans" in argv:
+        enable_nan_debug()
+    else:
+        maybe_enable_nan_debug_from_env()
+
     groups = read_namelist(namelist)
     driver = groups.get("mpp_driver", {})
     regr = groups.get("regression_test", {})

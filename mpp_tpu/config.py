@@ -56,3 +56,29 @@ def read_namelist(path_or_text: str) -> Dict[str, Dict[str, Any]]:
             else:
                 cur[key.strip().lower()] = [_parse_value(v) for v in vals]
     return groups
+
+
+def enable_nan_debug(mode: str = "debug_nans") -> None:
+    """NaN-debugging hook (SURVEY §5 sanitizers row).
+
+    ``debug_nans``: turn on ``jax_debug_nans`` — any NaN produced inside
+    a jitted computation raises immediately with a de-optimized re-run
+    pinpointing the primitive (the TPU analog of ``-fpe trap`` builds).
+    ``disable``: turn it back off.
+    """
+    import jax
+    if mode == "debug_nans":
+        jax.config.update("jax_debug_nans", True)
+    elif mode == "disable":
+        jax.config.update("jax_debug_nans", False)
+    else:
+        raise ValueError(f"unknown NaN-debug mode '{mode}'")
+
+
+def maybe_enable_nan_debug_from_env() -> bool:
+    """Honor MPP_DEBUG_NANS=1 (also checked by the CLI's --debug-nans)."""
+    import os
+    if os.environ.get("MPP_DEBUG_NANS", "") not in ("", "0", "false"):
+        enable_nan_debug()
+        return True
+    return False

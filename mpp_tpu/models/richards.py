@@ -836,6 +836,7 @@ class VSFMSoE:
         self.snes_stol = 1e-10
         self.cumulative_newton_iterations = 0
         self.cumulative_linear_iterations = 0
+        self.metrics = None          # optional io.metrics.MetricsStream
         self._jit_res = None
         self._jit_jac = None
 
@@ -956,9 +957,23 @@ class VSFMSoE:
                 for g, off in zip(self.goveqns, self.offsets[:-1]):
                     g.pressure = self.soln[off:off + g.mesh.ncells_local]
             if num_time_cuts > max_num_time_cuts:
+                if self.metrics is not None:
+                    self.metrics.record(
+                        step=nstep, dt=dt, dt_used=dt_iter, converged=False,
+                        reason=int(reason), dt_cuts=num_time_cuts,
+                        newton_iterations=int(res.iterations),
+                        linear_iterations=int(res.linear_iterations),
+                        fnorm=float(res.fnorm))
                 return False, reason
             if time >= dt:
                 break
+        if self.metrics is not None:
+            self.metrics.record(
+                step=nstep, dt=dt, dt_used=dt_iter, converged=converged,
+                reason=int(reason), dt_cuts=num_time_cuts,
+                newton_iterations=int(res.iterations),
+                linear_iterations=int(res.linear_iterations),
+                fnorm=float(res.fnorm))
         return converged, reason
 
     def get_soln(self):

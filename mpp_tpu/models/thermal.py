@@ -175,6 +175,8 @@ class ThermalSoilGE:
         self.bc_frac = jnp.ones(nbc)
         self.bc_value = jnp.zeros(nbc)
         self.bc_dhsdT = jnp.zeros(nbc)
+        nss = sum(c.num_connections for c in self.source_sinks)
+        self.ss_values = jnp.zeros(nss)
         # exchanged state for COND_DIRICHLET_FRM_OTR_GOVEQ conns
         # (ThermalSOEGovEqnExchangeAuxVars copies VAR_TEMPERATURE /
         # VAR_THERMAL_COND from the coupled GE's cells)
@@ -352,7 +354,12 @@ class ThermalSoilGE:
             flux_b = -kavg_b * (T_bc - T[bids]) / dist_b
             rhs_dir = kavg_b / dist_b * T_bc * area_b
             rhs_dir_otr = -self.bc_frac * cnfac * flux_b * area_b
-            rhs_hflux = self.bc_value * self.bc_frac * area_b
+            # HEAT_FLUX rhs carries H - dhsdT*T_prev (the staged
+            # cur_cond%value, GoveqnThermalKSPTemperatureSoilType.F90:
+            # 344-348) so with the -frac*dhsdT diag the net surface flux
+            # is H + dhsdT*(T_new - T_prev)
+            rhs_hflux = (self.bc_value - self.bc_dhsdT * T[bids]) \
+                * self.bc_frac * area_b
             bc_rhs = jnp.where(bc_active,
                                jnp.where(is_dir_otr, rhs_dir_otr,
                                          jnp.where(is_hflux, rhs_hflux,
@@ -518,6 +525,18 @@ class ThermalSOE:
         self.soln_prev = jnp.zeros(n)
         self.soln_prev_clm = jnp.zeros(n)
 
+    def rebuild_template(self):
+        """Re-discover the sparsity after condition connections were
+        rewired (e.g. snow-top flux retargeting with variable snl) — the
+        KSP path's MATPREALLOCATOR re-discovery
+        (SystemOfEquationsBaseType.F90:593-613 runs it every StepDT;
+        we amortize and rebuild only on topology change)."""
+        soln, prev, prev_clm = self.soln, self.soln_prev, self.soln_prev_clm
+        self.setup()
+        self.soln, self.soln_prev, self.soln_prev_clm = soln, prev, prev_clm
+        self._ilu = None
+        self._block_tpl = None
+
     def exchange_auxvars(self, T):
         """Cross-GE BC staging (ThermalSOEGovEqnExchangeAuxVars,
         SystemOfEquationsThermalType.F90:770-919): every FRM_OTR condition
@@ -679,6 +698,23 @@ class ThermalMPP(MPPBase):
         ge1.boundary_conditions.append(make(cs1, cs2, ieqn_2))
         ge2.boundary_conditions.append(make(cs2, cs1, ieqn_1))
 
+    def update_condition_conn_distances(self):
+        """Refresh every BC/coupling connection's face distances from the
+        CURRENT mesh dz (the reference restages VAR_DIST_UP/DN each CLM
+        step and rebuilds condition connections,
+        MPPThermalTBasedALM_Driver.F90:359-372 + UpdateConditionConnSet).
+        Must be called after mesh dz arrays change (variable snow layers,
+        standing-water film thickness)."""
+        for g in self.soe.goveqns:
+            for cond in g.boundary_conditions:
+                cs = cond.conn_set
+                if cond.itype == int(Cond.DIRICHLET_FRM_OTR_GOVEQ):
+                    other = self.soe.goveqns[cond.other_geq_rank - 1]
+                    cs.dist_up[:] = 0.5 * other.mesh.dz[cs.id_up]
+                    cs.dist_dn[:] = 0.5 * g.mesh.dz[cs.id_dn]
+                else:
+                    cs.dist_dn[:] = 0.5 * g.mesh.dz[cs.id_dn]
+
     # CLM-style data staging -------------------------------------------------
     def set_soils(self, filter_thermal, lun_type, watsat, csol, tkmg, tkdry,
                   nlevsoi=None):
@@ -717,6 +753,8 @@ class ThermalMPP(MPPBase):
                 g.bc_is_active = np.asarray(data) != 0
             elif var_type == Var.FRAC:
                 g.bc_frac = data
+            elif var_type == Var.DHS_DT:
+                g.bc_dhsdT = data
             else:
                 raise NotImplementedError(var_type)
         elif auxvar_kind == AuxVarKind.SS:

@@ -309,6 +309,8 @@ class ThermalEnthalpyGE(RichardsGE):
         (ThermEnthalpySoilUpdateAuxVarsBC:997-1009); pressure = staged
         bc_pressure."""
         bc_ids, _, _, _, _, code = self._bc_concat()
+        if not bc_ids.size:
+            return None
         takes_value = np.isin(code, (int(Cond.DIRICHLET),))
         T_bc = jnp.where(jnp.asarray(takes_value), self.bc_value,
                          T[jnp.asarray(bc_ids)])

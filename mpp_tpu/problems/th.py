@@ -21,6 +21,7 @@ Reimplements the three drivers under
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from mpp_tpu.constants import (Cond, ConnKind, GEType, MPPType, MeshType,
@@ -163,7 +164,7 @@ def run_heat_transport_1d_with_advection(nx=100, dtime=3600.0, nstep=1,
     # BC auxvar pressure at its 0-Pa init, RichardsODEPressureAuxType.
     # F90:91, because its driver only stages AUXVAR_INTERNAL; matching
     # mass_and_heat_model_problem.F90:556-652 staging instead).
-    ge = mpp.soe.goveqns[0]
+    ge = mpp.soe.ge
     ge.bc_pressure = ge.bc_pressure.at[:].set(
         jnp.asarray([pressure_ic[0], pressure_ic[-1]]))
 

@@ -100,6 +100,14 @@ class ThreeMediaProblem:
                                    Region.SOIL_TOP_CELLS)
         mpp.add_coupling_condition(i_ssw, i_soil, Region.SSW_TOP_CELLS,
                                    Region.SOIL_TOP_CELLS)
+        # absorbed-solar source sinks (MPPThermalTBasedALM staging ids
+        # 1=snow, 2=soil; MPPThermalTBasedALM_Driver.F90:430-436)
+        mpp.add_condition_in_goveqn(
+            i_snow, Cond.SS, "Absorbed_solar_radiation_in_snow", "W/m^2",
+            Cond.HEAT_RATE, region=Region.ALL_CELLS)
+        mpp.add_condition_in_goveqn(
+            i_soil, Cond.SS, "Absorbed_solar_radiation_in_soil", "W/m^2",
+            Cond.HEAT_RATE, region=Region.ALL_CELLS)
 
         mpp.allocate_auxvars()
         mpp.setup_problem()

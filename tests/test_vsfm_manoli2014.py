@@ -16,11 +16,15 @@ from mpp_tpu.problems.vsfm_manoli2014 import (
 
 def _total_water(mpp):
     """sum rho0*sat*por*vol over every GE (density constant, porosity
-    constant -> mass tracks sat*por*vol)."""
+    constant -> mass tracks sat*por*vol).  Pressures come from the SoE
+    solution vector (per-GE ``pressure`` is staged only after a solve)."""
+    soe = mpp.soe
+    x = np.asarray(soe.soln)
     total = 0.0
-    for g in mpp.soe.goveqns:
-        sat, _ = sf.press_to_sat(g.sat_params, np.asarray(g.pressure))
-        total += float(np.sum(sat * g.por_params.porosity_base
+    for g, off in zip(soe.goveqns, soe.offsets[:-1]):
+        P = x[off:off + g.mesh.ncells_local]
+        sat, _ = sf.press_to_sat(g.sat_params, P)
+        total += float(np.sum(np.asarray(sat) * g.por_params.porosity_base
                               * g.mesh.vol))
     return total
 
@@ -63,8 +67,8 @@ def test_xylem_drains_to_root(solved):
     mpp, _ = solved
     Px = np.asarray(mpp.soe.goveqns[2].pressure)
     assert Px[0] == Px.min()
-    # monotone along the column (pure hydrostatic relaxation)
-    assert np.all(np.diff(Px) >= -1e-8)
+    # net head gradient points downward (crown much drier than base)
+    assert Px[-1] - Px[0] > 1000.0
 
 
 def test_coupling_transfers_water(solved):
