@@ -137,6 +137,11 @@ def bench_spmv(jax, jnp):
     }
 
 
+def _nullcontext():
+    import contextlib
+    return contextlib.nullcontext()
+
+
 def bench_newton(jax, jnp):
     from mpp_tpu.models import vsfm_batched as vb
 
@@ -167,22 +172,28 @@ def bench_newton(jax, jnp):
     dt = (_time_scalar(run, lat) - (nsteps - 1) * lat) / nsteps
 
     # f32-vs-f64 accuracy of the production step (VERDICT r1 item 9):
-    # small heterogeneous wetting problem solved in both precisions on
-    # this device; report pressure deviation + per-column water error
+    # f32 on this device vs an f64 CPU reference (TPUs have no native
+    # f64 — computing the reference there would silently demote and
+    # report zero error).
     import numpy as np
+    jax.config.update("jax_enable_x64", True)
     nca, nza = 64, 15
     out = {}
-    for dt_name, dty in (("f32", jnp.float32), ("f64", jnp.float64)):
-        pa = vb.ColumnParams.uniform(nza, dtype=dty)
-        Pa = jnp.full((nca, nza), 3.5355e3, dty)
-        bt = jnp.linspace(8.0e4, 9.8e4, nca, dtype=dty)
-        bb = jnp.full((nca,), 3.5355e3, dty)
-        Pn, it_a, done_a = vb.step_dt(Pa, 1800.0, bt, bb, pa)
-        sat, _, _, _ = vb.vg_sat_kr(Pn, pa)
-        out[dt_name] = (np.asarray(Pn, np.float64),
-                        np.asarray(jnp.sum(sat * pa.por * pa.dz, -1),
-                                   np.float64) * 1e3,
-                        int(np.max(np.asarray(it_a))))
+    cpu = jax.devices("cpu")[0]
+    for dt_name, dty, dev in (("f32", jnp.float32, None),
+                              ("f64", jnp.float64, cpu)):
+        ctx = jax.default_device(dev) if dev is not None else _nullcontext()
+        with ctx:
+            pa = vb.ColumnParams.uniform(nza, dtype=dty)
+            Pa = jnp.full((nca, nza), 3.5355e3, dty)
+            bt = jnp.linspace(8.0e4, 9.8e4, nca, dtype=dty)
+            bb = jnp.full((nca,), 3.5355e3, dty)
+            Pn, it_a, done_a = vb.step_dt(Pa, 1800.0, bt, bb, pa)
+            sat, _, _, _ = vb.vg_sat_kr(Pn, pa)
+            out[dt_name] = (np.asarray(Pn, np.float64),
+                            np.asarray(jnp.sum(sat * pa.por * pa.dz, -1),
+                                       np.float64) * 1e3,
+                            int(np.max(np.asarray(it_a))))
     p_err = float(np.abs(out["f32"][0] - out["f64"][0]).max())
     m_err = float(np.abs(out["f32"][1] - out["f64"][1]).max())
 
@@ -306,7 +317,7 @@ def bench_scaling():
     return json.loads(line)
 
 
-SECTIONS = {"spmv": 300, "vsfm_newton": 300, "canopy_pipeline": 420}
+SECTIONS = {"spmv": 480, "vsfm_newton": 480, "canopy_pipeline": 540}
 
 
 def _run_section(name, budget_s):

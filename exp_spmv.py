@@ -113,6 +113,69 @@ def bf16_variant(block_cols):
     return spmv
 
 
+
+
+def pallas_kernel_cp(block_cols, semantics="arbitrary"):
+    def kern(dl_ref, d_ref, du_ref, x_ref, y_ref):
+        xx = x_ref[:]
+        z = jnp.zeros_like(xx[:, :1])
+        lo = jnp.concatenate([z, dl_ref[:, 1:] * xx[:, :-1]], 1)
+        hi = jnp.concatenate([du_ref[:, :-1] * xx[:, 1:], z], 1)
+        y_ref[:] = d_ref[:] * xx + lo + hi
+
+    def spmv(dl, d, du, x):
+        ncol, nz = x.shape
+        bs = lambda: pl.BlockSpec((block_cols, nz), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((ncol, nz), x.dtype),
+            grid=(ncol // block_cols,),
+            in_specs=[bs(), bs(), bs(), bs()],
+            out_specs=bs(),
+            compiler_params=pltpu.TPUCompilerParams(
+                dimension_semantics=(semantics,)),
+        )(dl, d, du, x)
+    return spmv
+
+
+def packed_kernel(block_cols):
+    """Diagonals packed into one [ncol, 3*nz] array: 3 HBM streams."""
+    def kern(t_ref, x_ref, y_ref):
+        nz = x_ref.shape[1]
+        xx = x_ref[:]
+        dl = t_ref[:, :nz]
+        d = t_ref[:, nz:2 * nz]
+        du = t_ref[:, 2 * nz:]
+        z = jnp.zeros_like(xx[:, :1])
+        lo = jnp.concatenate([z, dl[:, 1:] * xx[:, :-1]], 1)
+        hi = jnp.concatenate([du[:, :-1] * xx[:, 1:], z], 1)
+        y_ref[:] = d * xx + lo + hi
+
+    def spmv(t, x):
+        ncol, nz = x.shape
+        bs3 = pl.BlockSpec((block_cols, 3 * nz), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        bs1 = lambda: pl.BlockSpec((block_cols, nz), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((ncol, nz), x.dtype),
+            grid=(ncol // block_cols,),
+            in_specs=[bs3, bs1()],
+            out_specs=bs1(),
+        )(t, x)
+
+    @jax.jit
+    def f(dl, d, du, x):
+        t = jnp.concatenate([dl, d, du], axis=1)
+
+        def body(_, xc):
+            return spmv(t, xc) * 0.5
+        return jax.lax.fori_loop(0, ITERS, body, x).sum()
+    return f
+
+
 def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -134,6 +197,8 @@ def main():
     dt = timeit(ceiling, dl, d, du, x)
     results["ceiling_elementwise"] = bytes_f32 / dt / 1e9
 
+    import os
+    fast = os.environ.get("EXP_FAST")
     variants = {
         "pallas_b512": chained(pallas_kernel(512)),
         "pallas_b1024": chained(pallas_kernel(1024)),
@@ -143,7 +208,17 @@ def main():
         "jnp_concat": chained(jnp_concat),
         "jnp_pad": chained(jnp_pad),
         "pallas_bf16diag_b1024": chained(bf16_variant(1024)),
+        "pallas_b128": chained(pallas_kernel(128)),
+        "pallas_b256": chained(pallas_kernel(256)),
+        "pallas_b256_arb": chained(pallas_kernel_cp(256, "arbitrary")),
+        "pallas_b512_par": chained(pallas_kernel_cp(512, "parallel")),
+        "pallas_packed_b512": packed_kernel(512),
+        "pallas_packed_b1024": packed_kernel(1024),
     }
+    if fast:
+        keep = ("pallas_b1024", "pallas_b256", "pallas_packed_b1024",
+                "pallas_b2048")
+        variants = {k: v for k, v in variants.items() if k in keep}
     for name, fn in variants.items():
         try:
             dt = timeit(fn, dl, d, du, x)

@@ -111,6 +111,52 @@ def _dispatch(problem_type: str, opts: dict):
                 opts.get("stomatal_conductance_model", "medlyn")))
         return lambda base, nc: None
 
+    # Drivers the reference builds as standalone executables rather than
+    # namelist-dispatched problems; exposed here for convenience.
+    if problem_type == "vsfm_sy1991":
+        from mpp_tpu.problems import vsfm_sy1991 as p
+        mpp = p.run_vsfm_sy1991_problem(
+            problem_number=int(opts.get("problem_number", p.DRYING_PROBLEM)))
+        return lambda base, nc: p.output_regression(mpp, base, nc)
+
+    if problem_type == "vsfm_wt_dynamics":
+        from mpp_tpu.problems import vsfm_wt_dynamics as p
+        mpp = p.run_vsfm_wt_dynamics_problem()
+        return lambda base, nc: p.output_regression(mpp, base, nc)
+
+    if problem_type == "vsfm_vchannel_operator_split":
+        from mpp_tpu.problems import vsfm_vchannel_operator_split as p
+        _vert, lat = p.run_vsfm_vchannel_operator_split_problem()
+        return lambda base, nc: p.output_regression(lat, base, nc)
+
+    if problem_type == "vsfm_manoli2014":
+        from mpp_tpu.problems import vsfm_manoli2014 as p
+        p.run_vsfm_manoli2014_problem(
+            dtime=float(opts.get("dt", 8640.0)),
+            nstep=int(opts.get("nstep", 3)))
+        return lambda base, nc: None
+
+    if problem_type == "vsfm_spac_mms":
+        from mpp_tpu.problems import vsfm_spac_mms as p
+        p.run_vsfm_spac_mms_problem(
+            grid_factor=int(opts.get("grid_factor", 2)))
+        return lambda base, nc: None
+
+    if problem_type == "th_manoli2014":
+        from mpp_tpu.problems import th_manoli2014 as p
+        p.run_th_manoli2014_problem(
+            dtime=float(opts.get("dt", 8640.0)),
+            nstep=int(opts.get("nstep", 3)))
+        return lambda base, nc: None
+
+    if problem_type == "heat_transport_1D_with_advection":
+        from mpp_tpu.problems import th as p
+        _mpp, temp = p.run_heat_transport_1d_with_advection(
+            pressure_ic_file=opts.get("pressure_ic_file"))
+        nx = temp.shape[0]
+        return lambda base, nc: p.output_regression_heat_transport_1d(
+            base, nc, temp)
+
     raise SystemExit(f"problem_type = '{problem_type}' is unsupported.")
 
 
