@@ -357,22 +357,28 @@ class RichardsGE:
         return (np.concatenate(rows) + row_off, np.concatenate(cols) + col_off)
 
     # ---- aux + assembly (pure, jittable) ----------------------------------
+    # The dynamic inputs (bc_value, ss_value, accum_prev) default to the
+    # staged attributes (the serial SoE path); the compiled/batched TPU
+    # path (batched/vsfm_compiled.py) passes them explicitly so the whole
+    # evaluation is a pure function of its arguments.
     def _cell_aux(self, P):
         return richards_aux(P, self.sat_params, self.por_params,
                             self.temperature, self.frac_liq_sat,
                             self.density_type)
 
-    def _bc_aux_pressure(self, P):
+    def _bc_aux_pressure(self, P, bc_value=None):
         """UpdateAuxVarsBC: Dirichlet/seepage take the condition value;
         mass rate/flux mirror the internal cell; coupled BCs take the
         other GE's pressure, staged into ``bc_value`` by the SoE exchange
         (GoveqnRichardsODEPressureType.F90:1508-1550,
         SystemOfEquationsVSFMType.F90:1117-1168)."""
+        if bc_value is None:
+            bc_value = self.bc_value
         bc_ids, _, _, _, _, code = self._bc_concat()
         takes_value = np.isin(code, (int(Cond.DIRICHLET),
                                      int(Cond.SEEPAGE_BC),
                                      int(Cond.DIRICHLET_FRM_OTR_GOVEQ)))
-        return jnp.where(jnp.asarray(takes_value), self.bc_value,
+        return jnp.where(jnp.asarray(takes_value), bc_value,
                          P[jnp.asarray(bc_ids)])
 
     def _bc_swap_mask(self):
@@ -447,7 +453,7 @@ class RichardsGE:
             dfd = jnp.where(is_cond, cdfd, dfd)
         return ic, flux, dfu, dfd
 
-    def _bc_fluxes(self, P, aux):
+    def _bc_fluxes(self, P, aux, bc_value=None):
         """(bc cell ids, flux, dflux_dn, dflux_up) over BC connections.
 
         ``swap_order`` connections (coupled-GE BCs on the higher-rank side)
@@ -462,7 +468,7 @@ class RichardsGE:
         if not bc_ids.size:
             return bc_ids, jnp.zeros(0), jnp.zeros(0), jnp.zeros(0)
         bids = jnp.asarray(bc_ids)
-        P_bc = self._bc_aux_pressure(P)
+        P_bc = self._bc_aux_pressure(P, bc_value)
         (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
          por_b, dpor_b) = richards_aux(
             P_bc, self.bc_sat_params, self.bc_por_params,
@@ -524,15 +530,19 @@ class RichardsGE:
             dfu = jnp.where(is_cond, cdfu, dfu)
         return bc_ids, flux, dfd, dfu
 
-    def residual(self, P, dt):
+    def residual(self, P, dt, bc_value=None, ss_value=None, accum_prev=None):
         """F (length ncells_local)."""
+        if ss_value is None:
+            ss_value = self.ss_value
+        if accum_prev is None:
+            accum_prev = self.accum_prev
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
         aux = self._cell_aux(P)
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
         vol = jnp.asarray(self.mesh.vol)
         F = jnp.where(active, por * den * sat * vol / dt, 0.0)
-        F = F - self.accum_prev
+        F = F - accum_prev
 
         ic, flux, _, _ = self._internal_fluxes(P, aux)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
@@ -540,7 +550,7 @@ class RichardsGE:
         flux = jnp.where(both, flux, 0.0)
         F = F.at[iu].add(-flux).at[idn].add(flux)
 
-        bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux)
+        bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux, bc_value)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
@@ -561,15 +571,17 @@ class RichardsGE:
             pw = ratio ** nn
             f_camp = jnp.where(dP_neg, 1.0 + pw, 1.0)
             f_fetch = jnp.where(dP_neg, jnp.exp(-pw), 1.0)
-            val = self.ss_value / FMWH2O
+            val = ss_value / FMWH2O
             contrib = jnp.where(jnp.asarray(is_camp), val / f_camp,
                                 jnp.where(jnp.asarray(is_fetch),
                                           val * f_fetch, val))
             F = F.at[sids].add(-contrib)
         return F
 
-    def jacobian_values(self, P, dt):
+    def jacobian_values(self, P, dt, bc_value=None, ss_value=None):
         """A-contribution values in coo_coords order."""
+        if ss_value is None:
+            ss_value = self.ss_value
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
         aux = self._cell_aux(P)
@@ -584,7 +596,7 @@ class RichardsGE:
         # F_up -= flux ; F_dn += flux
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
-        bc_ids, _, dfd_b, dfu_b = self._bc_fluxes(P, aux)
+        bc_ids, _, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             # F_cell += flux  -> J[c,c] += dflux_dP_dn
@@ -613,7 +625,7 @@ class RichardsGE:
             pw = ratio ** nn
             f_camp = 1.0 + pw
             f_fetch = jnp.exp(-pw)
-            val = self.ss_value / FMWH2O
+            val = ss_value / FMWH2O
             v_camp = val * (nn * pw) / (dP_safe * f_camp ** 2.0)
             v_fetch = val * (nn * pw) * f_fetch / dP_safe
             ss_vals = jnp.where(

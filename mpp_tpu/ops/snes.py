@@ -279,9 +279,17 @@ def snes_solve(func: Callable, jac: Callable, x0: np.ndarray,
             from mpp_tpu.ops.ilu import csr_matvec
             return csr_matvec(indptr, indices, data, v)
 
+        X_pre, F_pre, fnorm_pre = X, F, fnorm
         ok, X, F, fnorm, lam, snorm, nfuncs = ls(
             func, X, F, fnorm, Y, jac_matvec, opts, nfuncs)
         if not ok:
+            # PETSc SNESSolve_NEWTONLS failure path (ls.c): a failed line
+            # search whose full Newton update is already negligible
+            # (stol*xnorm > ynorm) exits CONVERGED_SNORM_RELATIVE at the
+            # pre-step iterate — the near-equilibrium case.
+            if opts.stol * np.linalg.norm(X_pre) > np.linalg.norm(Y):
+                return SNESResult(X_pre, CONVERGED_SNORM_RELATIVE, it + 1,
+                                  lin_its_total, fnorm_pre)
             num_ls_failures += 1
             if num_ls_failures >= max_ls_failures:
                 return SNESResult(X, DIVERGED_LINE_SEARCH, it + 1,

@@ -18,7 +18,8 @@ from mpp_tpu.ops import eos
 from mpp_tpu.io.regression import RegressionWriter
 
 
-def run_vsfm_celia1990_problem(nz=100, dtime=3600.0, nstep=24):
+def run_vsfm_celia1990_problem(nz=100, dtime=3600.0, nstep=24,
+                               use_compiled=False):
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
     mpp.set_id(MPPType.VSFM_SNES_CLM)
@@ -54,6 +55,9 @@ def run_vsfm_celia1990_problem(nz=100, dtime=3600.0, nstep=24):
 
     mpp.restart(np.full(nz, 3.5355e3))
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 1, np.full(1, 9.3991e4))
         mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 2, np.full(1, 3.5355e3))

@@ -52,7 +52,8 @@ def _build_mesh(nz):
     return mesh
 
 
-def run_vsfm_spac_problem(nz=30, dtime=3600.0, nstep=1):
+def run_vsfm_spac_problem(nz=30, dtime=3600.0, nstep=1,
+                          use_compiled=False):
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
     mpp.set_id(MPPType.VSFM_SNES_CLM)
@@ -143,6 +144,9 @@ def run_vsfm_spac_problem(nz=30, dtime=3600.0, nstep=1):
     mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1,
                  np.full(1, 7.1875e-10 * 1e3))
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         converged, reason = mpp.soe.step_dt(dtime, istep)
         assert converged, f"step {istep} diverged (reason {reason})"

@@ -90,10 +90,10 @@ def _bc_relperm_params(n):
 
 
 def run_vsfm_spac_campbell_problem(dtime=3600.0, nstep=24,
-                                   multi_goveqns=False):
+                                   multi_goveqns=False, use_compiled=False):
     if multi_goveqns:
-        return _run_multi_goveqns(dtime, nstep)
-    return _run_single_goveqn(dtime, nstep)
+        return _run_multi_goveqns(dtime, nstep, use_compiled)
+    return _run_single_goveqn(dtime, nstep, use_compiled)
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +148,7 @@ def _material_arrays(nz, is_soil):
     return por, sat_res, lam, alpha, satfunc_type, perm
 
 
-def _run_single_goveqn(dtime, nstep):
+def _run_single_goveqn(dtime, nstep, use_compiled=False):
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
     mpp.set_id(MPPType.VSFM_SNES_CLM)
@@ -199,6 +199,9 @@ def _run_single_goveqn(dtime, nstep):
 
     mpp.restart(np.full(n, _press_ic()))
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     time = 0.0
     for istep in range(1, nstep + 1):
         mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1,
@@ -250,7 +253,7 @@ def _coupling_conn_set(id_dn):
                          unit_vec=uv)
 
 
-def _run_multi_goveqns(dtime, nstep):
+def _run_multi_goveqns(dtime, nstep, use_compiled=False):
     dz = 1.0 / NZ_SOIL
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
@@ -370,6 +373,9 @@ def _run_multi_goveqns(dtime, nstep):
     mpp.restart(np.full(n_all, _press_ic()))
     mpp.update_connections()
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     time = 0.0
     for istep in range(1, nstep + 1):
         mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1,

@@ -108,7 +108,8 @@ def _build_mesh(nz):
 
 
 def run_vsfm_vchannel_problem(nz=30, dtime=8640.0, nstep=3,
-                              with_seepage_bc=False, ic_offset=2.0):
+                              with_seepage_bc=False, ic_offset=2.0,
+                              use_compiled=False):
     n = NX * NY * nz
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
@@ -157,6 +158,9 @@ def run_vsfm_vchannel_problem(nz=30, dtime=8640.0, nstep=3,
             icell += 1
     mpp.restart(press_ic)
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         if with_seepage_bc:
             mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 1,
