@@ -1,32 +1,33 @@
 """North-star benchmarks (BASELINE.md): prints ONE JSON line
 {"metric", "value", "unit", "vs_baseline", "detail": {...}}.
 
-Three measurements, all on whatever accelerator JAX provides (the TPU
-chip under the driver; CPU transparently elsewhere):
+Headline (vs_baseline): **single-pass SpMV fraction of HBM roofline** —
+the BASELINE.json north star ("CSR SpMV >= 70% of HBM roofline"),
+measured on the exact operator the production Newton executes
+(``ops/pallas_kernels.tridiag_spmv``, consumed by the compiled VSFM
+path's BT-line-search Jacobian action, ``batched/vsfm_compiled.py``).
+The VMEM-resident chain figure is reported as a secondary data point
+only (``solver_context``), never as the headline.
 
-1. **SpMV throughput** (primary metric).  The production operator is the
-   batched per-column tridiagonal Jacobian over [ncol, nz] state.  Two
-   numbers:
-   - ``single_pass``: one y = T x, 5 HBM streams (4r+1w).
-   - ``solver_context`` (the headline): K=30 chained applications with
-     the matrix resident in VMEM (``ops/pallas_kernels.tridiag_spmv_chain``)
-     — the shape of the real hot loop, where a Krylov/smoother iteration
-     reuses the assembled Jacobian across all inner iterations (PETSc's
-     KSPSolve likewise streams AIJ from cache across a GMRES(30) cycle,
-     which is why K=30).  vs_baseline compares against the 5-stream f32
-     CSR roofline (819 GB/s / (20/3 B/nnz) on v5e); matrix residency
-     legitimately exceeds 1.0.
+Sections:
 
-2. **VSFM Newton–Krylov step time**: full production ``step_dt`` (batched
-   masked Newton + per-column dt ladder + BT line search + Thomas solves)
-   at production shape; reports ms/step and column-steps/s.
-
-3. **Scaling efficiency**: the sharded VSFM step (column sharding +
-   ppermute lateral halo) on an 8-virtual-device CPU mesh vs the identical
-   unsharded problem on 1 device — same physical cores, so the ratio
-   isolates the overhead added by the distributed machinery (halo
-   collectives, sharded assembly).  >= 0.8 target.  (True multi-host weak
-   scaling needs N real chips; this driver exposes one.)
+1. ``spmv`` — single-pass y = T x (5 HBM streams) + the VMEM-resident
+   chain + the pure-elementwise stream ceiling.
+2. ``vsfm_newton`` — the COMPILED full-physics VSFM step (facade-built
+   celia1990 problem: van Genuchten/Mualem, TGDPB01 density with dden/dP,
+   SNES-semantics Newton + BT line search + per-column dt ladders) at
+   production shape [16384, 128].
+3. ``f32_stress`` — f32 production-shape evidence: ncol=16384 stiff
+   heterogeneous columns, 100 implicit steps, per-column mass-balance
+   drift audit (ALM-style), f32-vs-f64 pressure deltas and Newton-
+   iteration inflation on a 256-column subset re-solved in f64 on CPU.
+4. ``canopy_pipeline`` — batched ml_model substep (lwv->lbl->psy->mlc),
+   staged jits + persistent compilation cache to fit the compile budget.
+5. ``scaling`` — WEAK scaling on the virtual CPU mesh: per-device work
+   held constant (ncol ∝ devices), t(1 dev, n) vs t(2 dev, 2n) with the
+   device count matched to the physical cores, plus the halo-collective
+   share of step time.  (True multi-host scaling needs N real chips;
+   this driver exposes one.)
 """
 import json
 import os
@@ -35,6 +36,19 @@ import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_compile_cache(jax):
+    try:
+        cache = os.path.join(REPO, ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
 
 def hbm_bandwidth_gbs(jax):
@@ -129,6 +143,7 @@ def bench_spmv(jax, jnp):
             "us_per_spmv": dt_single * 1e6,
         },
         "solver_context": {
+            "note": "VMEM-resident chain, secondary data point only",
             "nnz_per_s": nnz / dt_chain,
             "vs_roofline": (nnz / dt_chain) / roofline_nnz_per_s,
             "us_per_spmv": dt_chain * 1e6,
@@ -137,92 +152,172 @@ def bench_spmv(jax, jnp):
     }
 
 
-def _nullcontext():
-    import contextlib
-    return contextlib.nullcontext()
-
-
 def bench_newton(jax, jnp):
-    from mpp_tpu.models import vsfm_batched as vb
+    """Compiled FULL-PHYSICS VSFM step at production shape."""
+    import __graft_entry__ as g
 
-    ncol, nz = 16384, 128
+    ncol = int(os.environ.get("MPP_BENCH_NCOL", 16384))
+    nz = int(os.environ.get("MPP_BENCH_NZ", 128))
     dtype = jnp.float32
-    params = vb.ColumnParams.uniform(nz, dtype=dtype)
+    _, comp = g._build_compiled_celia(nz)
     P0 = jnp.full((ncol, nz), 3.5355e3, dtype)
-    bc_top = jnp.full((ncol,), 9.3991e4, dtype)
-    bc_bot = jnp.full((ncol,), 3.5355e3, dtype)
+    bc = jnp.stack([jnp.linspace(8.0e4, 9.8e4, ncol, dtype=dtype),
+                    jnp.full((ncol,), 3.5355e3, dtype)], axis=1)
+    ss = jnp.zeros((ncol, 0), dtype)
+    src = jnp.zeros((ncol, nz), dtype)
     lat = _latency(jax, jnp)
 
     @jax.jit
-    def step(P):
-        P_new, iters, done = vb.step_dt(P, 3600.0, bc_top, bc_bot, params)
-        return P_new, iters, done
+    def step(P, bc):
+        Xn, iters, ok, reason = comp._step_dt_batched(P, (bc,), (ss,),
+                                                      3600.0, src)
+        return Xn, iters, ok
 
-    P1, iters, done = step(P0)
-    assert bool(done.all())
+    P1, iters, ok = step(P0, bc)
+    assert bool(ok.all())
 
     nsteps = 4
 
     def run():
         P = P1
         for _ in range(nsteps):
-            P, _, _ = step(P)
+            P, _, _ = step(P, bc)
         return P.sum()
 
     dt = (_time_scalar(run, lat) - (nsteps - 1) * lat) / nsteps
-
-    # f32-vs-f64 accuracy of the production step (VERDICT r1 item 9):
-    # f32 on this device vs an f64 CPU reference (TPUs have no native
-    # f64 — computing the reference there would silently demote and
-    # report zero error).
-    import numpy as np
-    jax.config.update("jax_enable_x64", True)
-    nca, nza = 64, 15
-    out = {}
-    cpu = jax.devices("cpu")[0]
-    for dt_name, dty, dev in (("f32", jnp.float32, None),
-                              ("f64", jnp.float64, cpu)):
-        ctx = jax.default_device(dev) if dev is not None else _nullcontext()
-        with ctx:
-            pa = vb.ColumnParams.uniform(nza, dtype=dty)
-            Pa = jnp.full((nca, nza), 3.5355e3, dty)
-            bt = jnp.linspace(8.0e4, 9.8e4, nca, dtype=dty)
-            bb = jnp.full((nca,), 3.5355e3, dty)
-            Pn, it_a, done_a = vb.step_dt(Pa, 1800.0, bt, bb, pa)
-            sat, _, _, _ = vb.vg_sat_kr(Pn, pa)
-            out[dt_name] = (np.asarray(Pn, np.float64),
-                            np.asarray(jnp.sum(sat * pa.por * pa.dz, -1),
-                                       np.float64) * 1e3,
-                            int(np.max(np.asarray(it_a))))
-    p_err = float(np.abs(out["f32"][0] - out["f64"][0]).max())
-    m_err = float(np.abs(out["f32"][1] - out["f64"][1]).max())
-
     return {
         "ncol": ncol, "nz": nz, "dtype": "float32",
+        "physics": "full (facade celia1990: VG/Mualem + TGDPB01 density)",
         "newton_iters_first_step": int(iters),
         "ms_per_step": dt * 1e3,
         "column_steps_per_s": ncol / dt,
         "cell_steps_per_s": ncol * nz / dt,
-        "f32_accuracy": {
-            "max_pressure_err_vs_f64_Pa": p_err,
-            "max_column_water_err_vs_f64_kg_m2": m_err,
-            "newton_iters_f32_vs_f64": [out["f32"][2], out["f64"][2]],
+    }
+
+
+def bench_f32_stress(jax, jnp):
+    """f32 evidence at production shape (VERDICT r2 item 9): stiff
+    heterogeneous columns, >=100 steps, mass-balance drift, and an f64
+    CPU re-solve of a column subset."""
+    import __graft_entry__ as g
+
+    ncol = int(os.environ.get("MPP_BENCH_NCOL", 16384))
+    nz = int(os.environ.get("MPP_BENCH_NZ", 64))
+    nsteps = int(os.environ.get("MPP_BENCH_NSTEPS", 100))
+    sub = min(256, ncol)     # f64 reference subset
+    dt_step = 1800.0
+
+    def forcing(n, dtype):
+        # stiff spread: dry columns, sharp infiltration fronts, ponded tops
+        top = jnp.linspace(5.0e3, 9.8e4, n, dtype=dtype)
+        bot = jnp.full((n,), 3.5355e3, dtype)
+        return jnp.stack([top, bot], axis=1)
+
+    def run(dtype, n, dev=None):
+        import contextlib
+        ctx = jax.default_device(dev) if dev is not None else \
+            contextlib.nullcontext()
+        with ctx:
+            _, comp = g._build_compiled_celia(nz)
+            P = jnp.full((n, nz), 3.5355e3, dtype)
+            bc = forcing(n, dtype)
+            ss = jnp.zeros((n, 0), dtype)
+            src = jnp.zeros((n, nz), dtype)
+
+            @jax.jit
+            def step(P):
+                return comp._step_dt_batched(P, (bc,), (ss,), dt_step, src)
+
+            @jax.jit
+            def audit(P):
+                return (comp.column_storage(P),
+                        comp.column_bc_flux(P, (bc,)))
+
+            iters_total = 0
+            drift = jnp.zeros((n,), dtype)
+            S_prev, _ = audit(P)
+            for _ in range(nsteps):
+                P, its, ok, reason = step(P)
+                S, flux = audit(P)
+                # implicit Euler: dS = -dt*assembled_bc_flux at convergence
+                drift = drift + (S - S_prev + dt_step * flux)
+                S_prev = S
+                iters_total += int(its)
+            jax.block_until_ready(P)
+            return (np.asarray(P, np.float64), np.asarray(drift, np.float64),
+                    np.asarray(S, np.float64), iters_total,
+                    bool(np.asarray(ok).all()))
+
+    t0 = time.perf_counter()
+    P32, drift32, S32, it32, ok32 = run(jnp.float32, ncol)
+    t_f32 = time.perf_counter() - t0
+
+    # f64 reference on CPU for the first `sub` columns (same forcing: the
+    # linspace over ncol is reproduced then subset so the physics matches)
+    jax.config.update("jax_enable_x64", True)
+    cpu = jax.devices("cpu")[0]
+    import contextlib
+    with jax.default_device(cpu):
+        _, comp = g._build_compiled_celia(nz)
+        full_bc = np.stack([np.linspace(5.0e3, 9.8e4, ncol),
+                            np.full(ncol, 3.5355e3)], axis=1)
+        idx = np.arange(sub) * (ncol // sub)
+        bc64 = jnp.asarray(full_bc[idx])
+        P = jnp.full((sub, nz), 3.5355e3, jnp.float64)
+        ss = jnp.zeros((sub, 0), jnp.float64)
+        src = jnp.zeros((sub, nz), jnp.float64)
+        step64 = jax.jit(lambda P: comp._step_dt_batched(P, (bc64,), (ss,),
+                                                         dt_step, src))
+        it64 = 0
+        for _ in range(nsteps):
+            P, its, ok, _ = step64(P)
+            it64 += int(its)
+        P64 = np.asarray(P)
+
+    p_err = float(np.abs(P32[idx] - P64).max())
+    # storage per column ~ S32; relative drift vs column storage
+    denom = np.maximum(np.abs(S32), 1e-30)
+    return {
+        "ncol": ncol, "nz": nz, "nsteps": nsteps, "dt_s": dt_step,
+        "converged_all_f32": ok32,
+        "wall_s_f32": t_f32,
+        "newton_iters_total": {"f32_at_16384col": it32,
+                               "f64_at_256col": it64,
+                               "per_step_f32": it32 / nsteps,
+                               "per_step_f64": it64 / nsteps},
+        "mass_balance": {
+            "max_abs_drift_kmol": float(np.abs(drift32).max()),
+            "max_rel_drift_vs_storage": float((np.abs(drift32) / denom).max()),
+            "reference_threshold": "ALM audit max_abs_mass_error_col=1e-5 "
+                                   "kg (MPPVSFMALM_Driver.F90)",
+            "max_abs_drift_kg": float(np.abs(drift32).max() * 18.01534),
         },
+        "f32_vs_f64": {"max_pressure_err_Pa": p_err,
+                       "subset_cols": sub},
     }
 
 
 def bench_canopy(jax, jnp):
     """Batched ml_model substep (lwv -> lbl -> psy -> mlc) over [ncair]
-    columns, fully jitted — the coupled-canopy production path
-    (ml_model_problem.F90:377-409)."""
+    columns — the coupled-canopy production path
+    (ml_model_problem.F90:377-409).  Staged jits (3 programs instead of
+    one monolith) + the persistent compilation cache keep compile inside
+    the section budget; stderr progress marks where time goes."""
     from mpp_tpu.batched.canopy_pipeline import CanopyPipeline
 
-    ncair = 256
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    ncair = int(os.environ.get("MPP_BENCH_NCAIR", 256))
     pipe = CanopyPipeline(ncair=ncair, dtype=jnp.float32)
+    log(f"canopy: build {time.perf_counter()-t0:.1f}s")
     state0 = pipe.initial_state()
-    step = jax.jit(lambda s: pipe.substep(s))
-    state0 = step(state0)  # compile + settle one substep
+    stages = pipe.staged_substep_fns(jax)
+    t0 = time.perf_counter()
+    state0 = pipe.run_staged(stages, state0)
     jax.block_until_ready(state0)
+    log(f"canopy: first substep (compile) {time.perf_counter()-t0:.1f}s")
     lat = _latency(jax, jnp)
 
     nsub = 4
@@ -230,10 +325,10 @@ def bench_canopy(jax, jnp):
     def run():
         s = state0
         for _ in range(nsub):
-            s = step(s)
+            s = pipe.run_staged(stages, s)
         return s.T_air.sum()
 
-    dt = (_time_scalar(run, lat) - (nsub - 1) * lat) / nsub
+    dt = (_time_scalar(run, lat) - (nsub * 3 - 1) * lat) / nsub
     return {
         "ncair": ncair, "nlev": pipe.nlev, "dtype": "float32",
         "ms_per_substep": dt * 1e3,
@@ -242,73 +337,124 @@ def bench_canopy(jax, jnp):
 
 
 def bench_scaling_worker():
-    """Runs in a CPU subprocess with 8 forced host devices."""
+    """WEAK scaling in a CPU subprocess: per-device work constant; device
+    count matched to the physical cores so each shard maps to a core."""
+    import multiprocessing
     import jax
-    # a pre-registered accelerator plugin may force-select itself over the
-    # JAX_PLATFORMS env var; override back before the backend initializes
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
     from jax import shard_map
-    from mpp_tpu.models import vsfm_batched as vb
+    import __graft_entry__ as g
     from mpp_tpu.parallel.sharding import lateral_flux_op_split
 
-    ncol, nz = 4096, 64
+    ndev = len(jax.devices())
+    ncol_per_dev, nz = 1024, 64
     dtype = jnp.float32
-    params = vb.ColumnParams.uniform(nz, dtype=dtype)
-    prof = 3.5355e3 + 2.0e4 * jnp.sin(0.7 * jnp.arange(ncol, dtype=dtype))
-    P0 = jnp.broadcast_to(prof[:, None], (ncol, nz)).astype(dtype)
-    bc_top = jnp.full((ncol,), 9.3991e4, dtype)
-    bc_bot = jnp.full((ncol,), 3.5355e3, dtype)
+    _, comp = g._build_compiled_celia(nz)
     cond = jnp.asarray(1.0e-11, dtype)
+    spec2 = P("col", None)
 
-    def lateral_serial(Pc):
-        left = jnp.concatenate([Pc[:1], Pc[:-1]], axis=0)
-        right = jnp.concatenate([Pc[1:], Pc[-1:]], axis=0)
-        return -cond * ((Pc - left) + (Pc - right))
+    def make_step(mesh, with_halo=True):
+        def shard_fn(Pc, bcs):
+            if with_halo:
+                src = lateral_flux_op_split(Pc, cond, axis_name="col")
+            else:
+                src = jnp.zeros_like(Pc)
+            ssl = jnp.zeros((Pc.shape[0], 0), Pc.dtype)
+            Pn, _, _, _ = comp._step_dt_batched(Pc, (bcs,), (ssl,),
+                                                3600.0, src)
+            return Pn
 
-    @jax.jit
-    def step_1dev(Pc):
-        src = lateral_serial(Pc)
-        Pn, _, _ = vb.step_dt(Pc, 3600.0, bc_top, bc_bot, params, ss=src)
-        return Pn
+        @jax.jit
+        def step(Pcols, bc):
+            return shard_map(shard_fn, mesh=mesh, in_specs=(spec2, spec2),
+                             out_specs=spec2)(Pcols, bc)
+        return step
 
-    n_dev = len(jax.devices())
-    mesh = Mesh(np.array(jax.devices()), ("col",))
+    def problem(n):
+        prof = 3.5355e3 + 2.0e4 * jnp.sin(0.7 * jnp.arange(n, dtype=dtype))
+        P0 = jnp.broadcast_to(prof[:, None], (n, nz)).astype(dtype)
+        bc = jnp.stack([jnp.full((n,), 9.3991e4, dtype),
+                        jnp.full((n,), 3.5355e3, dtype)], axis=1)
+        return P0, bc
 
-    @jax.jit
-    def step_ndev(Pc, bt, bb):
-        def lateral(x):
-            return lateral_flux_op_split(x, cond, axis_name="col")
-        src = shard_map(lateral, mesh=mesh, in_specs=(P("col", None),),
-                        out_specs=P("col", None))(Pc)
-        Pn, _, _ = vb.step_dt(Pc, 3600.0, bt, bb, params, ss=src)
-        return Pn
-
-    def timeit(fn, *args, reps=5):
-        out = fn(*args)
+    def timeit(step, P0, bc, mesh, reps=5):
+        Pd = jax.device_put(P0, NamedSharding(mesh, spec2))
+        bcd = jax.device_put(bc, NamedSharding(mesh, spec2))
+        out = step(Pd, bcd)
         jax.block_until_ready(out)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(step(Pd, bcd))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1 = timeit(step_1dev, P0)
-    Pd = jax.device_put(P0, NamedSharding(mesh, P("col", None)))
-    btd = jax.device_put(bc_top, NamedSharding(mesh, P("col")))
-    bbd = jax.device_put(bc_bot, NamedSharding(mesh, P("col")))
-    tn = timeit(step_ndev, Pd, btd, bbd)
-    print(json.dumps({"n_devices": n_dev, "t_1dev_s": t1,
-                      "t_ndev_s": tn, "efficiency": t1 / tn}))
+    results = {"n_devices": ndev, "physical_cores":
+               multiprocessing.cpu_count(), "ncol_per_device": ncol_per_dev,
+               "nz": nz}
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("col",))
+    P0, bc = problem(ncol_per_dev)
+    t1 = timeit(make_step(mesh1), P0, bc, mesh1)
+    meshN = Mesh(np.array(jax.devices()), ("col",))
+    PN, bcN = problem(ncol_per_dev * ndev)
+    tN = timeit(make_step(meshN), PN, bcN, meshN)
+    tN_nohalo = timeit(make_step(meshN, with_halo=False), PN, bcN, meshN)
+
+    # platform ceiling: the SAME weak-scaling measurement on a pure
+    # elementwise kernel with zero communication.  The virtual host
+    # devices execute sequentially (no per-device cores), so even an
+    # embarrassingly parallel kernel "scales" at ~1/ndev here; the
+    # framework's weak-scaling efficiency is its raw ratio normalized by
+    # this ceiling — it isolates what the framework ADDS (halo
+    # collectives, sharded assembly) from the emulation artifact.
+    def heavy(x):
+        def body(_, a):
+            return jnp.sin(a) * 1.0001 + 0.1
+        return jax.lax.fori_loop(0, 200, body, x)
+
+    def cal(mesh, n):
+        x = jnp.ones((n, nz), dtype)
+        xd = jax.device_put(x, NamedSharding(mesh, spec2))
+        f = jax.jit(lambda v: shard_map(heavy, mesh=mesh,
+                                        in_specs=(spec2,),
+                                        out_specs=spec2)(v))
+        jax.block_until_ready(f(xd))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(xd))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    c1 = cal(mesh1, ncol_per_dev)
+    cN = cal(meshN, ncol_per_dev * ndev)
+    ceiling = c1 / cN
+    raw = t1 / tN
+    results.update({
+        "t_1dev_n_s": t1,
+        "t_Ndev_Nn_s": tN,
+        "weak_efficiency_raw": raw,
+        "platform_ceiling_efficiency": ceiling,
+        "weak_efficiency": min(raw / ceiling, 1.0),
+        "halo_share_of_step": max(0.0, (tN - tN_nohalo) / tN),
+        "note": "virtual CPU devices execute serially (one chip exposed); "
+                "weak_efficiency = raw step efficiency normalized by the "
+                "zero-communication platform ceiling measured identically",
+    })
+    print(json.dumps(results))
 
 
 def bench_scaling():
+    import multiprocessing
+    cores = multiprocessing.cpu_count()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8")
+                        + f" --xla_force_host_platform_device_count={cores}"
+                        + " --xla_cpu_multi_thread_eigen=false")
+    env["OMP_NUM_THREADS"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
         capture_output=True, text=True, timeout=600, env=env,
@@ -317,7 +463,8 @@ def bench_scaling():
     return json.loads(line)
 
 
-SECTIONS = {"spmv": 480, "vsfm_newton": 480, "canopy_pipeline": 540}
+SECTIONS = {"spmv": 480, "vsfm_newton": 480, "f32_stress": 540,
+            "canopy_pipeline": 540}
 
 
 def _run_section(name, budget_s):
@@ -334,8 +481,10 @@ def _run_section(name, budget_s):
 
 def _section_main(name):
     import jax
+    _enable_compile_cache(jax)
     import jax.numpy as jnp
     fn = {"spmv": bench_spmv, "vsfm_newton": bench_newton,
+          "f32_stress": bench_f32_stress,
           "canopy_pipeline": bench_canopy}[name]
     print(json.dumps(fn(jax, jnp)))
 
@@ -360,11 +509,11 @@ def main():
         detail["scaling"] = {"error": repr(e)[:300]}
 
     spmv = detail.get("spmv", {})
-    solver_ctx = spmv.get("solver_context", {})
-    value = solver_ctx.get("nnz_per_s", 0.0)
-    frac = solver_ctx.get("vs_roofline", 0.0)
+    single = spmv.get("single_pass", {})
+    value = single.get("nnz_per_s", 0.0)
+    frac = single.get("vs_roofline", 0.0)
     print(json.dumps({
-        "metric": "spmv_nnz_per_s_solver_context",
+        "metric": "spmv_nnz_per_s_single_pass",
         "value": value,
         "unit": "nnz/s",
         "vs_baseline": frac,

@@ -261,6 +261,25 @@ class CanopyPipeline:
     def substep(self, state: CanopyState, dt=300.0) -> CanopyState:
         """One operator-split substep (lwv -> lbl -> psy -> mlc), pure jnp
         (ml_model_problem.F90:388-409)."""
+        pre = self._stage_pre(state)
+        gs2 = self._stage_psy(state, pre)
+        return self._stage_mlc(state, pre, gs2, dt)
+
+    def staged_substep_fns(self, jax):
+        """Three separately-jitted stage programs (pre = turbulence+
+        longwave+LBL, psy = photosynthesis Newton, mlc = canopy block
+        solve).  Splitting the monolithic substep into 3 programs cuts
+        peak XLA compile cost ~3x (the bench's compile-budget lever) with
+        identical numerics — every intermediate stays on device."""
+        return (jax.jit(self._stage_pre), jax.jit(self._stage_psy),
+                jax.jit(self._stage_mlc, static_argnums=(3,)))
+
+    def run_staged(self, fns, state: CanopyState, dt=300.0) -> CanopyState:
+        pre = fns[0](state)
+        gs2 = fns[1](state, pre)
+        return fns[2](state, pre, gs2, dt)
+
+    def _stage_pre(self, state: CanopyState):
         nc, nlev = self.ncair, self.nlev
         dtype = self.dtype
 
@@ -312,6 +331,12 @@ class CanopyPipeline:
         lbl.tref = jnp.full(2 * nc * nlev, self.tref, dtype)
         lbl.compute()
         gbh2, gbv2, gbc2 = lbl.gbh, lbl.gbv, lbl.gbc
+        return (ga, labs, labs_soil, gbh2, gbv2, gbc2, tleaf2)
+
+    def _stage_psy(self, state: CanopyState, pre):
+        nc, nlev = self.ncair, self.nlev
+        dtype = self.dtype
+        ga, labs, labs_soil, gbh2, gbv2, gbc2, tleaf2 = pre
 
         # ---- photosynthesis (batched masked Newton) --------------------
         eair_lev = jnp.tile((state.q_air * self.pref).reshape(-1), 2)
@@ -320,7 +345,12 @@ class CanopyPipeline:
         x0 = jnp.full((2 * nc * nlev, 1), 0.9 * self.co2ref, dtype)
         res, bounded = bp.solve(self.psy_cfg, p, x0)
         out = bp.post_solve(self.psy_cfg, p, res.x, bounded)
-        gs2 = jnp.where(bounded[:, 0], out.gs, ph.GS_MIN)
+        return jnp.where(bounded[:, 0], out.gs, ph.GS_MIN)
+
+    def _stage_mlc(self, state: CanopyState, pre, gs2, dt=300.0):
+        nc, nlev = self.ncair, self.nlev
+        dtype = self.dtype
+        ga, labs, labs_soil, gbh2, gbv2, gbc2, tleaf2 = pre
         gs_sun = gs2[:nc * nlev].reshape(nc, nlev)
         gs_shd = gs2[nc * nlev:].reshape(nc, nlev)
 

@@ -93,6 +93,12 @@ class CompiledVSFM:
         self.goveqns = list(soe.goveqns)
         self.n = soe.n_total
         self.snes = snes or SNESParams(stol=soe.snes_stol)
+        # f32 production runs cannot satisfy the f64 PETSc defaults
+        # (rtol 1e-8 / stol 1e-10 are below f32 resolution on ~1e5 Pa
+        # state); dtype selects the parameter set at trace time
+        self.snes_f32 = SNESParams(rtol=1e-5, atol=1e-8, stol=1e-6,
+                                   ls_steptol=1e-8,
+                                   ksp_rtol=self.snes.ksp_rtol)
         self.max_cuts = max_cuts
 
         # coupled-BC staging maps: for each GE, the bc_value slots that are
@@ -167,6 +173,17 @@ class CompiledVSFM:
             self._dl_slots = slot_of(0, -1)
             self._d_slots = slot_of(0, 0)
             self._du_slots = slot_of(0, +1)
+
+            # the Jacobian action for the BT initslope runs through the
+            # production stencil SpMV (ops/pallas_kernels.tridiag_spmv —
+            # the Pallas kernel bench.py measures; jnp fallback off-TPU)
+            def tridiag_mv(data, x):
+                from mpp_tpu.ops.pallas_kernels import tridiag_spmv
+                dl = data[..., self._dl_slots] * jnp.asarray(self._dl_mask)
+                d = data[..., self._d_slots]
+                du = data[..., self._du_slots] * jnp.asarray(self._du_mask)
+                return tridiag_spmv(dl, d, du, x)
+            self._matvec = tridiag_mv
             # mask out slots that don't exist (value would alias another)
             self._dl_mask = np.array(
                 [np.any(cols[t.indptr[r]:t.indptr[r + 1]] == r - 1)
@@ -206,16 +223,23 @@ class CompiledVSFM:
         return jnp.linalg.solve(dense, F[..., None])[..., 0]
 
     # ---- pure single-column evaluation ------------------------------------
-    def _residual_one(self, X, bc_values, ss_values, accum_prevs, dt):
+    def _residual_one(self, X, bc_values, ss_values, accum_prevs, dt,
+                      src=None):
+        """``src``: optional per-cell mass source [n] (kmol/s, positive =
+        source) — the operator-split lateral flux staged as a source term
+        (SystemOfEquationsVSFMType.F90:848-891)."""
         Fs = []
         for k, (g, off) in enumerate(zip(self.goveqns, self.offsets[:-1])):
             bc = bc_values[k]
             if self._otr_slots[k].size:
                 bc = bc.at[jnp.asarray(self._otr_slots[k])].set(
                     X[jnp.asarray(self._otr_src[k])])
-            Fs.append(g.residual(X[off:off + g.mesh.ncells_local], dt,
-                                 bc_value=bc, ss_value=ss_values[k],
-                                 accum_prev=accum_prevs[k]))
+            F = g.residual(X[off:off + g.mesh.ncells_local], dt,
+                           bc_value=bc, ss_value=ss_values[k],
+                           accum_prev=accum_prevs[k])
+            if src is not None:
+                F = F - src[off:off + g.mesh.ncells_local]
+            Fs.append(F)
         return jnp.concatenate(Fs)
 
     def _jac_one(self, X, bc_values, ss_values, dt):
@@ -239,13 +263,14 @@ class CompiledVSFM:
         return tuple(out)
 
     # ---- batched Newton (SNES NEWTONLS + BT linesearch) --------------------
-    def _snes_batched(self, X0, bc, ss, accum_prev, dt):
+    def _snes_batched(self, X0, bc, ss, accum_prev, dt, src):
         """Returns (X, iters[ncol], reason[ncol]) — reason uses the PETSc
         SNESConvergedReason codes of ops/snes.py."""
-        sp = self.snes
+        sp = self.snes if X0.dtype == jnp.float64 else self.snes_f32
         # dt arrives as [ncol, 1] (per-column dt ladders) and maps to a
         # length-1 vector inside the single-column evaluation
-        res = jax.vmap(self._residual_one, in_axes=(0, 0, 0, 0, 0))
+        res_one = jax.vmap(self._residual_one, in_axes=(0, 0, 0, 0, 0, 0))
+        res = lambda X, b, s, a, d: res_one(X, b, s, a, d, src)
         jac = jax.vmap(self._jac_one, in_axes=(0, 0, 0, 0))
 
         def colnorm(A):
@@ -406,7 +431,7 @@ class CompiledVSFM:
         return X, iters, reason
 
     # ---- StepDT ladder (SOEBaseStepDT_SNES, per-column) --------------------
-    def _step_dt_batched(self, X_prev, bc, ss, dt):
+    def _step_dt_batched(self, X_prev, bc, ss, dt, src):
         """One driver timestep ``dt``: per-column Newton with per-column
         dt-cut ladders (×0.5, up to max_cuts, restoring the column's
         previous solution on divergence)."""
@@ -426,7 +451,7 @@ class CompiledVSFM:
             accum_prev = jax.vmap(self._accum_prev_one,
                                   in_axes=(0, 0))(X, dte[:, None])
             Xn, nits, rsn = self._snes_batched(X, bc, ss, accum_prev,
-                                               dte[:, None])
+                                               dte[:, None], src)
             conv = rsn > 0
             ok = active & conv
             div = active & ~conv
@@ -444,12 +469,46 @@ class CompiledVSFM:
                                                                  s0)
         return X, iters, (t >= dt_total) & ~failed, reason
 
+    # ---- mass-balance audit (ALM-style, MPPVSFMALM_Driver.F90:~660) -------
+    def column_storage(self, X):
+        """Total water storage per column [kmol]: sum of por*den*sat*vol
+        over all cells (X [ncol, n])."""
+        def one(x):
+            tot = 0.0
+            for g, off in zip(self.goveqns, self.offsets[:-1]):
+                P = x[off:off + g.mesh.ncells_local]
+                active = jnp.asarray(g.mesh.is_active)
+                tot = tot + jnp.sum(jnp.where(active, g.accum(P), 0.0))
+            return tot
+        return jax.vmap(one)(X)
+
+    def column_bc_flux(self, X, bc_values):
+        """Net assembled BC flux per column [kmol/s], with the residual's
+        sign convention (F_cell += flux): storage change per implicit
+        step satisfies ΔS = -dt * column_bc_flux(X_new, bc) + dt*sources
+        at exact convergence."""
+        def one(x, bcs):
+            tot = 0.0
+            for k, (g, off) in enumerate(zip(self.goveqns,
+                                             self.offsets[:-1])):
+                P = x[off:off + g.mesh.ncells_local]
+                aux = g._cell_aux(P)
+                bc_ids, flux_b, _, _ = g._bc_fluxes(P, aux, bcs[k])
+                if bc_ids.size:
+                    tot = tot + jnp.sum(flux_b)
+            return tot
+        return jax.vmap(one)(X, bc_values)
+
     # ---- public API --------------------------------------------------------
-    def step_batched(self, X, bc_values, ss_values, dt):
+    def step_batched(self, X, bc_values, ss_values, dt, src=None):
         """Batched step: X [ncol, n]; bc_values/ss_values tuples of
-        [ncol, nbc_g]/[ncol, nss_g] per GE.  Returns
+        [ncol, nbc_g]/[ncol, nss_g] per GE; optional ``src`` [ncol, n]
+        per-cell mass source (operator-split lateral coupling).  Returns
         (X, total_newton_iters, success[ncol], reason[ncol])."""
-        return self._step_jit(X, tuple(bc_values), tuple(ss_values), dt)
+        if src is None:
+            src = jnp.zeros_like(X)
+        return self._step_jit(X, tuple(bc_values), tuple(ss_values), dt,
+                              src)
 
     def gather_inputs(self, ncol=1):
         """Current staged BC/SS condition values, broadcast to ncol."""
