@@ -93,6 +93,7 @@ class LBLMPP(MPPBase):
     def __init__(self):
         super().__init__()
         self.goveqns: List[LeafBoundaryLayerGE] = []
+        self.metrics = None
 
     @property
     def soe(self):
@@ -113,4 +114,6 @@ class LBLMPP(MPPBase):
     def step_dt(self, dt, istep=1):
         for g in self.goveqns:
             g.compute()
+        if self.metrics is not None:
+            self.metrics.record(step=istep, dt=dt, converged=True)
         return True, 0

@@ -30,6 +30,10 @@ from __future__ import annotations
 import numpy as np
 
 from mpp_tpu.constants import HVAP, MM_H2O
+from mpp_tpu.constants import SOEType as _SOEType
+from mpp_tpu.dtypes.mpp_base import MPPBase
+
+_SOE_MLC = _SOEType.MLC
 from mpp_tpu.models.canopy_turbulence import (
     CanopyTurbulenceAuxVar, obukhov_length, wind_profile,
     aerodynamic_conductances)
@@ -54,12 +58,46 @@ def satvap_np(t):
     return es * 100.0, desdt * 100.0
 
 
-class MLCMPP:
+class MLCSoE:
+    """SoE surface of the MLC system (SystemOfEquationsMLCType.F90):
+    step_dt + iteration counters + metrics.
+
+    Deviation from the reference's per-GE object graph: the 3·ntree+2
+    governing-equation blocks are FUSED at assembly into one SoA layout
+    on the owning ``MLCMPP`` (the TPU-efficient form); this SoE carries
+    the solver-orchestration surface over that fused state."""
+
+    def __init__(self, mpp: "MLCMPP"):
+        self.mpp = mpp
+        self.itype = int(_SOE_MLC)
+        self.metrics = None
+
+    @property
+    def cumulative_linear_iterations(self):
+        return self.mpp.cumulative_linear_iterations
+
+    def step_dt(self, dt: float, nstep: int = 1):
+        conv, iters = self.mpp._step_dt_impl(dt)
+        if self.metrics is not None:
+            self.metrics.record(step=nstep, dt=dt, converged=bool(conv),
+                                linear_iterations=int(iters))
+        return conv, iters
+
+
+class MLCMPP(MPPBase):
     """MLC multi-physics problem over ``ncair`` canopy-air columns with
-    ``ntree`` trees per column (MultiPhysicsProbMLC.F90:30-37)."""
+    ``ntree`` trees per column (MultiPhysicsProbMLC.F90:30-37).
+
+    Subclasses the shared facade base (builder surface: set_name/set_id/
+    add_mesh); the GE registry is intentionally empty — MLC's governing
+    equations are fused into SoA blocks at construction (see MLCSoE)."""
+
+    GE_CLASSES = {}
 
     def __init__(self, ncair: int = 1, ntree: int = 1, nz_cair: int = 92,
                  z_cair: float = 46.0):
+        super().__init__()
+        self.soe = MLCSoE(self)
         self.ncair = ncair
         self.ntree = ntree
         self.dz_cair = z_cair / nz_cair
@@ -548,7 +586,11 @@ class MLCMPP:
                 np.asarray(vals, np.float64))
 
     # ------------------------------------------------------------------
-    def step_dt(self, dt: float):
+    def step_dt(self, dt: float, nstep: int = 1):
+        """Step through the SoE surface (metrics-aware)."""
+        return self.soe.step_dt(dt, nstep)
+
+    def _step_dt_impl(self, dt: float):
         """One KSP step (SOEBaseStepDT_KSP, SystemOfEquationsBaseType.F90:
         555-647): presolve, RHS, operators, GMRES+ILU(0), postsolve."""
         self.dtime = dt

@@ -874,6 +874,7 @@ class PhotosynthesisSoE:
         self.soln = None
         self.soln_prev = None
         self.cumulative_newton_iterations = 0
+        self.metrics = None
 
     def setup(self):
         n = self.ge.mesh.ncells_local * self.ge.dof
@@ -913,6 +914,9 @@ class PhotosynthesisSoE:
         self.soln_prev = self.soln.copy()
         self.ge.save_primary(self.soln)
         self.ge.avars.post_solve()
+        if self.metrics is not None:
+            self.metrics.record(step=nstep, dt=dt, converged=reason > 0,
+                                reason=int(reason), fnorm=float(fnorm))
         return reason > 0, reason
 
 

@@ -337,6 +337,7 @@ class _RadiationMPPBase(MPPBase):
         self.template: Optional[CSRTemplate] = None
         self.block_template = None
         self.cumulative_linear_iterations = 0
+        self.metrics = None
 
     @property
     def soe(self):
@@ -384,6 +385,9 @@ class _RadiationMPPBase(MPPBase):
         ge.save_soln(x)
         if hasattr(ge, "post_solve"):
             ge.post_solve()
+        if self.metrics is not None:
+            self.metrics.record(step=istep, dt=dt, converged=bool(conv),
+                                solver=solver, linear_iterations=int(iters))
         return bool(conv), 0
 
 

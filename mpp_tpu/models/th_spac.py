@@ -19,11 +19,17 @@ same physics):
   conditions with a swap_order re-evaluation (RichardsMod.F90:96-113),
   which is not exactly antisymmetric (see KNOWN_GAPS.md #7).  The
   single-evaluation form is exactly conservative.
-* The Jacobian of the full coupled residual is obtained by forward-mode
-  autodiff (jax.jacfwd) of the jitted residual — replacing the
-  reference's 6x6 grid of hand-written off-diagonal blocks
-  (SystemOfEquationsTHType.F90:853-1005) with the transform the
-  SoA/jnp formulation makes exact by construction.
+* The Jacobian of the full coupled residual is obtained by COLORED
+  forward-mode autodiff: the structural sparsity (per-mesh two-point
+  stencils in the 2x2 P/T variable blocks + cross-mesh coupling entries)
+  is built once at setup, its columns are distance-2 greedy-colored
+  (~10-20 colors independent of n), and each Newton iteration evaluates
+  ``ncolors`` JVPs of the jitted residual into a compressed Jacobian
+  whose entries scatter into a CSR template — memory and compute LINEAR
+  in n, replacing both the reference's 6x6 grid of hand-written
+  off-diagonal blocks (SystemOfEquationsTHType.F90:853-1005) and the
+  round-2 dense ``jax.jacfwd`` (O(n²)).  The linear solve is the
+  framework's ILU(0)+GMRES at tight tolerance.
 """
 from __future__ import annotations
 
@@ -78,6 +84,7 @@ class THSpacSoE:
         self.max_it = 50
         self.cumulative_newton_iterations = 0
         self.cumulative_linear_iterations = 0
+        self.metrics = None
 
     @property
     def goveqns(self):
@@ -90,7 +97,79 @@ class THSpacSoE:
         self.ntot = int(self.offsets[-1])
         self.soln = jnp.zeros(2 * self.ntot)
         self.soln_prev = jnp.zeros(2 * self.ntot)
-        self._jac_fn = None
+        self._jac_plan = None
+
+    # -- sparse Jacobian plan (built lazily after couplings exist) ---------
+    def _build_jac_plan(self):
+        """Structural sparsity + distance-2 column coloring + CSR template.
+
+        Cell-level adjacency: each mesh's two-point stencil (the mass GE's
+        COO pattern, which covers the energy GE on the same mesh) plus the
+        cross-mesh coupling pairs; expanded to the 2n unknowns as the 2x2
+        {P,T} variable blocks (every flux/accumulation term depends on
+        both P and T of its stencil cells)."""
+        from mpp_tpu.ops.sparse import csr_template
+        from mpp_tpu.ops.ilu import ILU0
+
+        rows, cols = [], []
+        for i, (gm, ge) in enumerate(zip(self.mass_ges, self.energy_ges)):
+            off = int(self.offsets[i])
+            for g in (gm, ge):
+                r, c = g.coo_coords(off, off)
+                rows.append(r.astype(np.int64))
+                cols.append(c.astype(np.int64))
+        for c_ in self.couplings:
+            a = self.offsets[c_.ia] + np.asarray(c_.cells_a, np.int64)
+            b = self.offsets[c_.ib] + np.asarray(c_.cells_b, np.int64)
+            rows += [a, b]
+            cols += [b, a]
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        n = self.ntot
+        R = np.concatenate([rows, rows, rows + n, rows + n])
+        C = np.concatenate([cols, cols + n, cols, cols + n])
+        tpl = csr_template(2 * n, 2 * n, R, C)
+
+        # distance-2 greedy coloring of columns (two columns conflict if
+        # any row contains both); colors ~ max row degree, not n
+        nn = 2 * n
+        row_ids = tpl.row_ids()
+        cols_csr = tpl.indices
+        rows_of_col = [[] for _ in range(nn)]
+        for e in range(cols_csr.size):
+            rows_of_col[cols_csr[e]].append(row_ids[e])
+        cols_of_row = [cols_csr[tpl.indptr[r]:tpl.indptr[r + 1]]
+                       for r in range(nn)]
+        color = np.full(nn, -1, np.int64)
+        for j in range(nn):
+            forbidden = set()
+            for r in rows_of_col[j]:
+                for j2 in cols_of_row[r]:
+                    if color[j2] >= 0:
+                        forbidden.add(int(color[j2]))
+            k = 0
+            while k in forbidden:
+                k += 1
+            color[j] = k
+        ncolors = int(color.max()) + 1
+        seeds = np.zeros((ncolors, nn))
+        seeds[color, np.arange(nn)] = 1.0
+        self._jac_plan = {
+            "tpl": tpl,
+            "entry_row": jnp.asarray(row_ids.astype(np.int32)),
+            "entry_color": jnp.asarray(color[cols_csr].astype(np.int32)),
+            "seeds": jnp.asarray(seeds),
+            "ncolors": ncolors,
+            "ilu": ILU0(tpl.indptr, tpl.indices),
+        }
+
+    def _sparse_jac_data(self, res, X):
+        """CSR data of J = dres/dX via ``ncolors`` JVPs (compressed
+        Jacobian; exact under the distance-2 coloring)."""
+        plan = self._jac_plan
+        compressed = jax.vmap(
+            lambda s: jax.jvp(res, (X,), (s,))[1])(plan["seeds"])
+        return compressed[plan["entry_color"], plan["entry_row"]]
 
     # -- functional pieces -------------------------------------------------
     def _split(self, X):
@@ -195,16 +274,29 @@ class THSpacSoE:
                 self.cumulative_newton_iterations += its
                 self.soln_prev = self.soln
             if num_time_cuts > 20:
+                if self.metrics is not None:
+                    self.metrics.record(step=nstep, dt=dt, converged=False,
+                                        reason=int(reason),
+                                        dt_cuts=num_time_cuts)
                 return False, reason
             if time >= dt * (1.0 - 1e-12):
                 break
+        if self.metrics is not None:
+            self.metrics.record(step=nstep, dt=dt, dt_used=dt_iter,
+                                converged=converged, reason=int(reason),
+                                dt_cuts=num_time_cuts,
+                                newton_iterations=int(its))
         return converged, reason
 
     def _newton(self, dt):
+        from mpp_tpu.ops.ilu import petsc_gmres
         am, ae = self._accums(self.soln_prev, dt)
         res = partial(self._residual_pure, accum_prev_m=am,
                       accum_prev_e=ae, dt=dt)
-        jac = jax.jacfwd(lambda X: res(X))
+        if self._jac_plan is None:
+            self._build_jac_plan()
+        plan = self._jac_plan
+        tpl = plan["tpl"]
         X = jnp.asarray(self.soln)
         F = res(X)
         fnorm = float(jnp.linalg.norm(F))
@@ -212,8 +304,12 @@ class THSpacSoE:
             return False, 0
         ttol = max(fnorm * self.rtol, self.atol)
         for it in range(self.max_it):
-            J = np.asarray(jac(X))
-            dx = np.linalg.solve(J, -np.asarray(F))
+            data = np.asarray(self._sparse_jac_data(res, X))
+            lu = plan["ilu"].factor(data)
+            dx, lin_its, _ = petsc_gmres(tpl.indptr, tpl.indices, data,
+                                         -np.asarray(F), pc=plan["ilu"],
+                                         pc_data=lu, rtol=1e-12, atol=1e-50)
+            self.cumulative_linear_iterations += int(lin_its)
             lam = 1.0
             for _ in range(12):          # simple backtracking
                 Xn = X + lam * jnp.asarray(dx)

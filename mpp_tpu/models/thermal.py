@@ -499,6 +499,7 @@ class ThermalSOE:
         self._ilu = None
         self._block_tpl = None
         self.cumulative_linear_iterations = 0
+        self.metrics = None
 
     @property
     def n_total(self) -> int:
@@ -577,7 +578,8 @@ class ThermalSOE:
         self.soln_prev = self.soln_prev_clm
         self.soln = self.soln_prev_clm
 
-    def step_dt(self, dt: float, solver: str = "ksp") -> bool:
+    def step_dt(self, dt: float, solver: str = "ksp",
+                nstep: int = 1) -> bool:
         """KSP step (SOEBaseStepDT_KSP): assemble from soln_prev, solve,
         PostSolve copies soln -> soln_prev.
 
@@ -623,6 +625,9 @@ class ThermalSOE:
             self.soln_prev = self.soln
             for g, off in zip(self.goveqns, self.offsets[:-1]):
                 g.temperature = self.soln[off:off + g.mesh.ncells_local]
+            if self.metrics is not None:
+                self.metrics.record(step=nstep, dt=dt, converged=True,
+                                    solver="block", linear_iterations=1)
             return True
         vals_list += cpl_list
         data = np.asarray(tpl.assemble(jnp.concatenate(vals_list)))
@@ -640,6 +645,9 @@ class ThermalSOE:
         self.soln_prev = self.soln
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             g.temperature = self.soln[off:off + g.mesh.ncells_local]
+        if self.metrics is not None:
+            self.metrics.record(step=nstep, dt=dt, converged=bool(converged),
+                                solver="ksp", linear_iterations=int(iters))
         return bool(converged)
 
     def get_soln(self) -> np.ndarray:

@@ -587,6 +587,7 @@ class THSoE:
         self.snes_stol = 1e-10
         self.cumulative_newton_iterations = 0
         self.cumulative_linear_iterations = 0
+        self.metrics = None
 
     @property
     def goveqns(self):
@@ -678,9 +679,19 @@ class THSoE:
                 self.soln = jnp.asarray(res.x)
                 self.soln_prev = self.soln
             if num_time_cuts > 20:
+                if self.metrics is not None:
+                    self.metrics.record(step=nstep, dt=dt, converged=False,
+                                        reason=int(reason),
+                                        dt_cuts=num_time_cuts)
                 return False, reason
             if time >= dt:
                 break
+        if self.metrics is not None:
+            self.metrics.record(
+                step=nstep, dt=dt, dt_used=dt_iter, converged=converged,
+                reason=int(reason), dt_cuts=num_time_cuts,
+                newton_iterations=int(res.iterations),
+                linear_iterations=int(res.linear_iterations))
         return converged, reason
 
 
@@ -704,6 +715,7 @@ class ThermalEnthalpySoE:
         self._ilu = None
         self.cumulative_newton_iterations = 0
         self.cumulative_linear_iterations = 0
+        self.metrics = None
 
     def setup(self):
         n = self.ge.mesh.ncells_local
@@ -737,6 +749,10 @@ class ThermalEnthalpySoE:
         self.soln = T_prev + jnp.asarray(dx)
         self.soln_prev = self.soln
         self.cumulative_newton_iterations += 1
+        if self.metrics is not None:
+            self.metrics.record(step=nstep, dt=dt, converged=True, reason=2,
+                                newton_iterations=1,
+                                linear_iterations=int(iters))
         return True, 2
 
 

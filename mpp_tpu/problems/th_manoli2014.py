@@ -29,20 +29,25 @@ from mpp_tpu.problems.vsfm_manoli2014 import (
 TEMP_INITIAL = 283.15    # [K] (F90:1907)
 
 
-def build_th_manoli2014():
-    zc_soil = -(DZ / 2.0) - DZ * np.arange(NZ_SOIL)
-    zc_root = zc_soil[:NZ_ROOT]
-    zc_xylem = (NZ_XYLEM * DZ - DZ / 2.0) - DZ * np.arange(NZ_XYLEM)
+def build_th_manoli2014(scale: int = 1):
+    """``scale`` multiplies every mesh's cell count (same geometry step),
+    for scaling tests of the sparse-Jacobian TH network; scale=1 is the
+    reference configuration."""
+    nz_soil, nz_root, nz_xylem = (NZ_SOIL * scale, NZ_ROOT * scale,
+                                  NZ_XYLEM * scale)
+    zc_soil = -(DZ / 2.0) - DZ * np.arange(nz_soil)
+    zc_root = zc_soil[:nz_root]
+    zc_xylem = (nz_xylem * DZ - DZ / 2.0) - DZ * np.arange(nz_xylem)
 
     mpp = THSpacMPP()
     mpp.set_name("TH for SPAC")
     mpp.set_id(MPPType.TH_SNES_CLM)
     mpp.add_mesh(_column_mesh("Soil mesh", MeshKind.CLM_SOIL_COL,
-                              NZ_SOIL, zc_soil))
+                              nz_soil, zc_soil))
     mpp.add_mesh(_column_mesh("Root mesh", MeshKind.SPAC_ROOT_COL,
-                              NZ_ROOT, zc_root))
+                              nz_root, zc_root))
     mpp.add_mesh(_column_mesh("Xylem mesh", MeshKind.SPAC_XYLEM_COL,
-                              NZ_XYLEM, zc_xylem, dx=0.25, dy=0.25))
+                              nz_xylem, zc_xylem, dx=0.25, dy=0.25))
     for i, nm in enumerate(("Soil", "Root", "Xylem")):
         mpp.add_goveqn(GEType.RE, f"Mass Equation ODE for {nm}", i)
     for i, nm in enumerate(("Soil", "Root", "Xylem")):
@@ -52,14 +57,14 @@ def build_th_manoli2014():
     # couplings (F90:970-1090): soil<->root over every root layer
     # (horizontal, root_radius/2 face distances, area dx*dy); root top
     # <-> xylem bottom junction (vertical, dz/2 each side)
-    rr = np.arange(NZ_ROOT)
+    rr = np.arange(nz_root)
     mpp.add_coupling(0, 1, rr, rr,
-                     np.full(NZ_ROOT, ROOT_RADIUS / 2.0),
-                     np.full(NZ_ROOT, ROOT_RADIUS / 2.0),
-                     np.ones(NZ_ROOT), np.zeros(NZ_ROOT))
+                     np.full(nz_root, ROOT_RADIUS / 2.0),
+                     np.full(nz_root, ROOT_RADIUS / 2.0),
+                     np.ones(nz_root), np.zeros(nz_root))
     # up side (b) = xylem bottom cell sits ABOVE dn side (a) = root top
     # cell: up->dn unit vector points down, unit_z = -1
-    mpp.add_coupling(1, 2, np.array([0]), np.array([NZ_XYLEM - 1]),
+    mpp.add_coupling(1, 2, np.array([0]), np.array([nz_xylem - 1]),
                      np.array([DZ / 2.0]), np.array([DZ / 2.0]),
                      np.ones(1), np.array([-1.0]))
 
@@ -86,7 +91,7 @@ def build_th_manoli2014():
 
     mpp.soe.setup()
 
-    ncells = NZ_SOIL + NZ_ROOT + NZ_XYLEM
+    ncells = nz_soil + nz_root + nz_xylem
     mpp.restart(np.full(ncells, PRESS_INITIAL),
                 np.full(ncells, TEMP_INITIAL))
     return mpp
