@@ -340,8 +340,14 @@ class CanopyPipeline:
 
         # ---- photosynthesis (batched masked Newton) --------------------
         eair_lev = jnp.tile((state.q_air * self.pref).reshape(-1), 2)
+        # absorbed PAR per leaf area from the shortwave stage, stacked
+        # [sun | shd] like tleaf2 (ml_model photosynthesis.F90 staging:
+        # av.apar = ileaf_vis * 4.6, solve_photosynthesis)
+        apar2 = jnp.concatenate(
+            [jnp.asarray(self.apar_sun).reshape(-1),
+             jnp.asarray(self.apar_shd).reshape(-1)]).astype(dtype)
         p = self._psy_params0._replace(
-            tleaf=tleaf2, gbv=gbv2, gbc=gbc2, eair=eair_lev)
+            tleaf=tleaf2, gbv=gbv2, gbc=gbc2, eair=eair_lev, apar=apar2)
         x0 = jnp.full((2 * nc * nlev, 1), 0.9 * self.co2ref, dtype)
         res, bounded = bp.solve(self.psy_cfg, p, x0)
         out = bp.post_solve(self.psy_cfg, p, res.x, bounded)
