@@ -71,9 +71,15 @@ class ALMVSFMProblem:
     zi: np.ndarray                   # interface depth below surface [m],
                                      # [ncol, nz+1] (zi[:,0]=0)
     lateral_connectivity: bool = False
-    lateral_conductance: float = 0.0  # [kmol/s/Pa] per column pair
+    lateral_conductance: float = 0.0  # [kmol/s/Pa] per column pair (ring)
     mesh_axis: Optional[str] = None   # shard_map axis name when sharded
     device_mesh: Optional[jax.sharding.Mesh] = None
+    # general-graph lateral connectivity (ldomain adjacency analog,
+    # MPPVSFMALM_Initialize.F90:588-795): when set, the lateral source is
+    # the per-connection, per-level lateral Darcy flux over the UGDM
+    # (replacing the 1-D ring + scalar-conductance model)
+    ugrid: Optional[object] = None    # parallel.ugrid.UGrid
+    ugdm: Optional[object] = None     # parallel.ugrid.UGDM
     # defaults mirror SNESSetTolerances in MPPSetupProblemSNES
     atol: float = 1e-10
     rtol: float = 1e-8
@@ -91,7 +97,7 @@ class ALMVSFMProblem:
 def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
                         P0=None, lateral_connectivity=False,
                         lateral_conductance=0.0, device_mesh=None,
-                        dtype=jnp.float64):
+                        ugrid=None, dtype=jnp.float64):
     """Build the batched VSFM problem from CLM column data
     (MPPVSFMALM_Initialize.F90:588-795 analog).
 
@@ -119,11 +125,22 @@ def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
     # model levels are ordered bottom (0) -> top (nz-1), hence the reverse
     zi = np.zeros((ncol, nz + 1))
     zi[:, 1:] = np.cumsum(dz[:, ::-1], axis=1)
+    ugdm = None
+    if ugrid is not None:
+        ndev = (len(device_mesh.devices.ravel())
+                if device_mesh is not None else 1)
+        ugdm = ugrid.partition(ndev)
+        if ugdm.ndev * ugdm.n_own != ncol:
+            raise ValueError(
+                f"ugrid padding ({ugdm.ndev}x{ugdm.n_own}) must match the "
+                f"staged column count {ncol}; stage CLM arrays through "
+                "ugdm.natural_to_sharded")
     return ALMVSFMProblem(
         params=params, P=jnp.asarray(P0, dtype),
         frac_liq=jnp.ones((ncol, nz), dtype), area=area, dz=dz, zi=zi,
         lateral_connectivity=lateral_connectivity,
         lateral_conductance=lateral_conductance, device_mesh=device_mesh,
+        ugrid=ugrid, ugdm=ugdm,
         mesh_axis="col" if device_mesh is not None else None)
 
 
@@ -142,6 +159,34 @@ def _lateral_source(prob: ALMVSFMProblem, P):
     the next implicit vertical solve.
     """
     from mpp_tpu.parallel.sharding import lateral_flux_op_split
+    if prob.ugdm is not None:
+        # general-graph per-level lateral Darcy flux over the UGDM
+        _, _, kr, _ = vb.vg_sat_kr(P, prob.params)
+        perm = jnp.broadcast_to(jnp.asarray(prob.params.perm, P.dtype),
+                                P.shape)
+        dz = jnp.broadcast_to(jnp.asarray(prob.params.dz, P.dtype), P.shape)
+        dm = prob.ugdm
+        if prob.device_mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as PS
+            spec = PS(prob.mesh_axis, None)
+            fn = shard_map(
+                lambda p_, k_, pe_, dz_: dm.lateral_darcy_source(
+                    p_, k_, pe_, dz_, axis_name=prob.mesh_axis),
+                mesh=prob.device_mesh, in_specs=(spec,) * 4,
+                out_specs=spec)
+            return fn(P, kr, perm, dz)
+        from mpp_tpu.parallel.ugrid import lateral_darcy_source_global
+        # 1-device: same math over the global (padded-petsc) layout via
+        # the natural-order reference implementation
+        P_nat = dm.sharded_to_natural(np.asarray(P))
+        kr_nat = dm.sharded_to_natural(np.asarray(kr))
+        perm_nat = dm.sharded_to_natural(np.asarray(perm))
+        dz_nat = dm.sharded_to_natural(np.asarray(dz))
+        src_nat = lateral_darcy_source_global(prob.ugrid, P_nat, kr_nat,
+                                              perm_nat, dz_nat)
+        return jnp.asarray(dm.natural_to_sharded(np.asarray(src_nat)),
+                           P.dtype)
     g = jnp.asarray(prob.lateral_conductance, P.dtype)
     if prob.device_mesh is not None:
         from jax import shard_map

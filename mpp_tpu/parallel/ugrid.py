@@ -60,6 +60,13 @@ class UGDM(NamedTuple):
     edge_mask: jnp.ndarray        # [ndev, n_edge]
     nat2petsc: jnp.ndarray        # [ncol] AO: natural id -> petsc id
     petsc2nat: jnp.ndarray        # [ncol] AO: petsc id -> natural id
+    # per-connection geometry for the physical lateral Darcy flux
+    # (ConnectionSetType.F90:15-48 dist/area; adjacency geometry built in
+    # MPPVSFMALM_Initialize.F90:588-795)
+    edge_dist_a: jnp.ndarray      # [ndev, n_edge] own-side half distance
+    edge_dist_b: jnp.ndarray      # [ndev, n_edge] other-side half distance
+    edge_area: jnp.ndarray        # [ndev, n_edge] face width (x dz per level)
+    edge_dzc: jnp.ndarray         # [ndev, n_edge] elevation z_a - z_b
 
     # ------------------------------------------------------------------
     # data staging (host side): natural-order CLM arrays <-> sharded layout
@@ -117,6 +124,49 @@ class UGDM(NamedTuple):
         src = jnp.zeros_like(x_own)
         return src.at[a].add(flux)
 
+    def lateral_darcy_source(self, P_own, kr_own, perm_own, dz_own,
+                             axis_name="col", den=None, vis=8.904156e-4):
+        """Per-connection, per-level lateral Darcy flux as an
+        operator-split source [kmol/s] per owned cell.
+
+        The physical lateral flux of the reference's ALM path
+        (``GoveqnRichardsODEPressureType.F90:2615-2747`` with the
+        standard ``RichardsFlux`` two-point form, RichardsMod.F90:
+        118-340, constant density): distance-weighted harmonic
+        permeability, upwinded relative permeability, gravity from the
+        columns' elevation difference, per-level face area =
+        edge width x mean layer thickness.
+
+        Args (all [n_own, nz] for this device's block): ``P_own``
+        pressure, ``kr_own`` relative permeability, ``perm_own``
+        permeability, ``dz_own`` layer thickness.  Ghost values move
+        with one halo exchange of the stacked fields."""
+        from mpp_tpu.constants import FMWH2O, GRAVITY_CONSTANT, DENH2O
+        if den is None:
+            den = DENH2O / FMWH2O
+        p = jax.lax.axis_index(axis_name)
+        ext = self.halo_exchange(
+            jnp.stack([P_own, kr_own, perm_own, dz_own], axis=-1),
+            axis_name)
+        a, b = self.edge_a[p], self.edge_b[p]
+        mask = self.edge_mask[p][:, None]
+        Pa, Pb = ext[a, :, 0], ext[b, :, 0]
+        kra, krb = ext[a, :, 1], ext[b, :, 1]
+        pa, pb = ext[a, :, 2], ext[b, :, 2]
+        dza, dzb = ext[a, :, 3], ext[b, :, 3]
+        da = self.edge_dist_a[p][:, None]
+        db = self.edge_dist_b[p][:, None]
+        Dq = pa * pb / (da * pb + db * pa)
+        # gravity term: dist * unit_z * (-g) with the a->b unit vector,
+        # i.e. (z_b - z_a) * (-g) = -edge_dzc * (-g)
+        grav = den * FMWH2O * self.edge_dzc[p][:, None] * GRAVITY_CONSTANT
+        dphi = Pa - Pb + grav
+        ukvr = jnp.where(dphi >= 0.0, kra, krb) / vis
+        area = self.edge_area[p][:, None] * 0.5 * (dza + dzb)
+        flux = -Dq * ukvr * dphi * area * den * mask
+        src = jnp.zeros_like(P_own)
+        return src.at[a].add(flux)
+
 
 @dataclasses.dataclass
 class UGrid:
@@ -128,12 +178,28 @@ class UGrid:
     ncol: int
     edges: np.ndarray
     edge_weight: Optional[np.ndarray] = None
+    #: full connection distance per edge (dist_up+dist_dn); default 1
+    edge_dist: Optional[np.ndarray] = None
+    #: lateral face width per edge (area per unit layer thickness)
+    edge_area: Optional[np.ndarray] = None
+    #: column surface elevation [ncol] (hillslope gravity term)
+    col_elev: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.edges = np.asarray(self.edges, np.int64).reshape(-1, 2)
+        ne = self.edges.shape[0]
         if self.edge_weight is None:
-            self.edge_weight = np.ones(self.edges.shape[0])
+            self.edge_weight = np.ones(ne)
         self.edge_weight = np.asarray(self.edge_weight, np.float64)
+        if self.edge_dist is None:
+            self.edge_dist = np.ones(ne)
+        self.edge_dist = np.asarray(self.edge_dist, np.float64)
+        if self.edge_area is None:
+            self.edge_area = np.asarray(self.edge_weight, np.float64).copy()
+        self.edge_area = np.asarray(self.edge_area, np.float64)
+        if self.col_elev is None:
+            self.col_elev = np.zeros(self.ncol)
+        self.col_elev = np.asarray(self.col_elev, np.float64)
         if self.edges.size and (self.edges.min() < 0
                                 or self.edges.max() >= self.ncol):
             raise ValueError("edge endpoint out of range")
@@ -212,22 +278,33 @@ class UGrid:
 
         # per-device local edge lists: one directed copy per owned endpoint
         dev_edges = [[] for _ in range(ndev)]
-        for (a, b), wgt in zip(self.edges, self.edge_weight):
-            for s, t in ((a, b), (b, a)):
+        for (a, b), wgt, dist, ar in zip(self.edges, self.edge_weight,
+                                         self.edge_dist, self.edge_area):
+            dzc_ab = self.col_elev[a] - self.col_elev[b]
+            for s, t, dzc in ((a, b, dzc_ab), (b, a, -dzc_ab)):
                 d = owner[s]
                 t_loc = local_slot[t] if owner[t] == d else ghost_slot[d][t]
-                dev_edges[d].append((local_slot[s], t_loc, wgt))
+                dev_edges[d].append((local_slot[s], t_loc, wgt, dist, ar,
+                                     dzc))
         n_edge = max(1, max(len(e) for e in dev_edges))
         edge_a = np.zeros((ndev, n_edge), np.int64)
         edge_b = np.zeros((ndev, n_edge), np.int64)
         edge_w = np.zeros((ndev, n_edge))
         edge_mask = np.zeros((ndev, n_edge))
+        edge_dist_a = np.full((ndev, n_edge), 1.0)
+        edge_dist_b = np.full((ndev, n_edge), 1.0)
+        edge_area = np.zeros((ndev, n_edge))
+        edge_dzc = np.zeros((ndev, n_edge))
         for d, es in enumerate(dev_edges):
-            for j, (s, t, wgt) in enumerate(es):
+            for j, (s, t, wgt, dist, ar, dzc) in enumerate(es):
                 edge_a[d, j] = s
                 edge_b[d, j] = t
                 edge_w[d, j] = wgt
                 edge_mask[d, j] = 1.0
+                edge_dist_a[d, j] = dist / 2.0
+                edge_dist_b[d, j] = dist / 2.0
+                edge_area[d, j] = ar
+                edge_dzc[d, j] = dzc
 
         return UGDM(
             ndev=ndev, n_own=int(n_own), n_export=int(n_export),
@@ -239,4 +316,39 @@ class UGrid:
             edge_a=jnp.asarray(edge_a), edge_b=jnp.asarray(edge_b),
             edge_w=jnp.asarray(edge_w), edge_mask=jnp.asarray(edge_mask),
             nat2petsc=jnp.asarray(nat2petsc),
-            petsc2nat=jnp.asarray(petsc_order))
+            petsc2nat=jnp.asarray(petsc_order),
+            edge_dist_a=jnp.asarray(edge_dist_a),
+            edge_dist_b=jnp.asarray(edge_dist_b),
+            edge_area=jnp.asarray(edge_area),
+            edge_dzc=jnp.asarray(edge_dzc))
+
+
+def lateral_darcy_source_global(ug: UGrid, P_nat, kr_nat, perm_nat, dz_nat,
+                                den=None, vis=8.904156e-4):
+    """Serial (no-collective) reference of :meth:`UGDM.lateral_darcy_source`
+    over the GLOBAL natural-order arrays [ncol, nz]; used by the 1-device
+    driver path and as the sharded path's cross-check."""
+    from mpp_tpu.constants import FMWH2O, GRAVITY_CONSTANT, DENH2O
+    if den is None:
+        den = DENH2O / FMWH2O
+    P = jnp.asarray(P_nat)
+    kr = jnp.asarray(kr_nat)
+    perm = jnp.asarray(perm_nat)
+    dz = jnp.asarray(dz_nat)
+    src = jnp.zeros_like(P)
+    if ug.edges.size == 0:
+        return src
+    a = jnp.asarray(ug.edges[:, 0])
+    b = jnp.asarray(ug.edges[:, 1])
+    dist_h = jnp.asarray(ug.edge_dist)[:, None] / 2.0
+    area_w = jnp.asarray(ug.edge_area)[:, None]
+    dzc = jnp.asarray(ug.col_elev[ug.edges[:, 0]]
+                      - ug.col_elev[ug.edges[:, 1]])[:, None]
+    Pa, Pb = P[a], P[b]
+    Dq = perm[a] * perm[b] / (dist_h * perm[b] + dist_h * perm[a])
+    grav = den * FMWH2O * dzc * GRAVITY_CONSTANT
+    dphi = Pa - Pb + grav
+    ukvr = jnp.where(dphi >= 0.0, kr[a], kr[b]) / vis
+    area = area_w * 0.5 * (dz[a] + dz[b])
+    flux = -Dq * ukvr * dphi * area * den
+    return src.at[a].add(flux).at[b].add(-flux)

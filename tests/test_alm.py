@@ -18,14 +18,14 @@ from mpp_tpu.constants import DENH2O
 
 def _make_problem(ncol=6, nz=15, **kw):
     shape = (ncol, nz)
+    kw.setdefault("P0", np.full(shape, 3.5355e3))
     return alm.alm_vsfm_initialize(
         watsat=np.full(shape, 0.368),
         hksat=np.full(shape, 0.0070556),      # mm/s (CLM-ish)
         bsw=np.full(shape, 2.0),              # lambda = 0.5
         sucsat=np.full(shape, 29.772),        # 1/(alpha*g), m of water
         residual_sat=np.full(shape, 0.2772),
-        dz=np.full(shape, 0.1), area=np.ones(ncol),
-        P0=np.full(shape, 3.5355e3), **kw)
+        dz=np.full(shape, 0.1), area=np.ones(ncol), **kw)
 
 
 def test_mass_balance_closed_no_flux():
@@ -149,3 +149,49 @@ def test_lateral_ghost_exchange_sharded():
     assert abs(float(np.sum(qlat))) < 1e-10
     assert out["abs_mass_error_col"] < alm.MAX_ABS_MASS_ERROR_COL
     assert m1 == pytest.approx(m0, rel=1e-6)
+
+
+def test_lateral_ugdm_darcy_sharded():
+    """ALM lateral connectivity through the general-graph UGDM with the
+    physical per-level lateral Darcy flux (VERDICT r2 item 6: replaces
+    the 1-D ring + scalar conductance), sharded on the 8-device mesh,
+    cross-checked against the serial global evaluation."""
+    from jax.sharding import Mesh
+    from mpp_tpu.parallel.ugrid import UGrid, lateral_darcy_source_global
+    from mpp_tpu.models import vsfm_batched as vb
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs[:8]), ("col",))
+
+    nx, ny, nz = 4, 4, 12
+    ug = UGrid.regular_2d(nx, ny)
+    ug.edge_dist[:] = 10.0
+    ug.edge_area[:] = 10.0
+    ncol = ug.ncol
+    # wet/dry contrast drives lateral redistribution
+    P0 = np.full((ncol, nz), 3.5355e3)
+    P0[: ncol // 2] = 1.06e5
+    prob = _make_problem(ncol=ncol, nz=nz, lateral_connectivity=True,
+                         device_mesh=mesh, ugrid=ug, P0=P0)
+    assert prob.ugdm is not None
+
+    out = alm.alm_vsfm_solve(prob, 1800.0)
+    qlat = np.asarray(out["qflx_lateral"])
+    # pair-antisymmetric op-split fluxes conserve mass globally
+    assert abs(qlat.sum()) < 1e-10 * np.abs(qlat).max()
+    # wet columns lose, dry columns gain
+    assert qlat[: ncol // 2].sum() > 0.0      # positive = outflow (mm/s)
+    assert qlat[ncol // 2:].sum() < 0.0
+
+    # sharded lateral source == serial global evaluation
+    P = jnp.asarray(P0, prob.P.dtype)
+    src_sharded = np.asarray(alm._lateral_source(prob, P))
+    _, _, kr, _ = vb.vg_sat_kr(P, prob.params)
+    perm = jnp.broadcast_to(prob.params.perm, P.shape)
+    dz = jnp.broadcast_to(prob.params.dz, P.shape)
+    src_serial = np.asarray(lateral_darcy_source_global(
+        ug, P, kr, perm, dz))
+    np.testing.assert_allclose(src_sharded, src_serial, rtol=1e-12,
+                               atol=1e-20)

@@ -110,7 +110,9 @@ def test_hillslope_vsfm_sharded_matches_single_device():
     # elevation-driven initial pressures (hillslope): wetter downslope
     xg, yg = np.meshgrid(np.arange(nx), np.arange(ny))
     elev = (xg + 0.5 * yg).reshape(-1)
-    P_nat = (3.5355e3 + 1.5e4 * (elev / elev.max())).astype(np.float64)
+    # wetter (saturated, kr ~ 1) on the high side so the physical
+    # lateral Darcy flux carries real signal
+    P_nat = (3.5355e3 + 1.05e5 * (elev / elev.max())).astype(np.float64)
     P_nat = np.broadcast_to(P_nat[:, None], (ug.ncol, nz)).copy()
     bc_top = np.full(ug.ncol, 9.3991e4)
     bc_bot = np.full(ug.ncol, 3.5355e3)
@@ -121,11 +123,12 @@ def test_hillslope_vsfm_sharded_matches_single_device():
 
     def step(dmx, meshx, Pl, bt, bb):
         def f(Pc, bt_, bb_):
-            src = dmx.lateral_source(Pc[..., 0] * 0.0 + Pc.mean(-1), cond,
-                                     "col")
-            # lateral flux driven by column-mean pressure, fed as a
-            # uniform source over levels (op-split staging)
-            ss = jnp.broadcast_to(src[:, None] / nz, Pc.shape)
+            # per-connection, per-level lateral Darcy flux (the real
+            # physics; VERDICT r2 item 6 — no more column-mean staging)
+            _, _, kr, _ = vb.vg_sat_kr(Pc, params)
+            perm = jnp.broadcast_to(params.perm, Pc.shape)
+            dzf = jnp.broadcast_to(params.dz, Pc.shape)
+            ss = dmx.lateral_darcy_source(Pc, kr, perm, dzf, "col")
             Pn, _, _ = vb.step_dt(Pc, 3600.0, bt_, bb_, params, ss=ss)
             return Pn
         sh = shard_map(f, mesh=meshx,
@@ -149,3 +152,128 @@ def test_hillslope_vsfm_sharded_matches_single_device():
                              jnp.asarray(bc_top), jnp.asarray(bc_bot),
                              params)
     assert np.max(np.abs(P1n - np.asarray(P_off))) > 1.0
+
+
+def test_hillslope_ugdm_opsplit_matches_facade_implicit():
+    """The REAL hillslope physics through the UGDM operator-split path
+    (compiled per-column implicit vertical solve + per-level lateral
+    Darcy source with the hillslope's dist/area/elevation geometry) vs
+    the facade-built single-GE mesh solved FULLY implicitly — the
+    VERDICT r2 item 6 cross-check.  The two formulations differ by the
+    operator-splitting error, which must be small and shrink ~linearly
+    with dt; the sharded UGDM evaluation must match the serial global
+    evaluation exactly."""
+    from mpp_tpu.constants import GEType, MeshType as MeshKind
+    from mpp_tpu.dtypes.mesh import Mesh as MppMesh, ConnectionSet
+    from mpp_tpu.models.richards import VSFMMPP
+    from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+    from mpp_tpu.parallel.ugrid import lateral_darcy_source_global
+    from mpp_tpu.ops import satfunc as sf
+    from mpp_tpu.problems import vsfm_spac_on_hillslope as hp
+
+    nx, nz = hp.NX, hp.NZ
+    slope = 0.1
+    elev = slope * hp.DX * (nx - 1 - np.arange(nx))
+
+    # ---- per-column compiled problem (facade-built, no BCs: the
+    # hillslope domain is closed) with the hillslope's own ordering
+    # (k=0 at the surface) ----
+    zc = -(np.arange(nz) + 0.5) * hp.DZ
+    mesh = MppMesh(name="column", itype=0,
+                   orientation=int(MeshKind.ALONG_GRAVITY),
+                   ncells_local=nz, nlev=nz,
+                   xc=np.full(nz, hp.DX / 2), yc=np.full(nz, hp.DY / 2),
+                   zc=zc, dx=np.full(nz, hp.DX), dy=np.full(nz, hp.DY),
+                   dz=np.full(nz, hp.DZ), area_xy=np.full(nz, hp.DX * hp.DY),
+                   is_active=np.ones(nz, bool))
+    mesh.compute_volume()
+    k = np.arange(nz - 1)
+    mesh.intrn_conn_sets = [ConnectionSet(
+        id_up=k.astype(np.int32), id_dn=(k + 1).astype(np.int32),
+        dist_up=np.full(nz - 1, hp.DZ / 2), dist_dn=np.full(nz - 1, hp.DZ / 2),
+        area=np.full(nz - 1, hp.DX * hp.DY),
+        itype=np.zeros(nz - 1, np.int32))]
+    mpp = VSFMMPP()
+    mpp.add_mesh(mesh)
+    mpp.add_goveqn(GEType.RE, "RE column")
+    mpp.allocate_auxvars()
+    mpp.setup_problem()
+    perm = np.full(nz, hp.PERM)
+    mpp.set_soil_porosity(1, np.full(nz, hp.POR))
+    mpp.set_saturation_function(1, np.full(nz, sf.SAT_FUNC_VAN_GENUCHTEN),
+                                np.full(nz, hp.ALPHA), np.full(nz, hp.VG_M),
+                                np.full(nz, hp.SAT_RES))
+    mpp.set_soil_permeability(1, perm, perm, perm)
+    depth = (np.arange(nz) + 0.5) * hp.DZ
+    press_ic_col = 101325.0 + 9810.0 * (depth - 2.0)
+    mpp.restart(press_ic_col)
+    comp = compile_vsfm(mpp)
+    g = mpp.soe.goveqns[0]
+
+    # ---- hillslope lateral adjacency with the facade's geometry ----
+    dz_elev = elev[0] - elev[1]
+    ug = UGrid(ncol=nx, edges=np.array([[0, 1]]),
+               edge_dist=np.array([np.hypot(hp.DX, dz_elev)]),
+               edge_area=np.array([hp.DY]),
+               col_elev=elev)
+
+    bc = (jnp.zeros((nx, 0)),)
+    ss = (jnp.zeros((nx, 0)),)
+    perm_b = jnp.broadcast_to(jnp.asarray(hp.PERM), (nx, nz))
+    dz_b = jnp.broadcast_to(jnp.asarray(hp.DZ), (nx, nz))
+
+    def opsplit_run(dt, nstep):
+        X = jnp.tile(jnp.asarray(press_ic_col), (nx, 1))
+        for _ in range(nstep):
+            kr, _ = sf.press_to_relperm(g.sat_params, X, 1.0)
+            src = lateral_darcy_source_global(ug, X, kr, perm_b, dz_b)
+            X, _, ok, reason = comp.step_batched(X, bc, ss, dt, src=src)
+            assert bool(ok.all()), np.asarray(reason)
+        return np.asarray(X)
+
+    def facade_run(dt, nstep):
+        m, _ = hp.run_vsfm_spac_on_hillslope_problem(slope=slope,
+                                                     nstep=nstep, dtime=dt)
+        return np.asarray(m.soe.soln).reshape(nx, nz)
+
+    def sat_of(Parr):
+        s, _ = sf.press_to_sat(g.sat_params, jnp.asarray(Parr))
+        return np.asarray(s)
+
+    # compare in saturation (pressure near the sharp VG front amplifies
+    # tiny mass differences through the steep retention curve)
+    X_450 = opsplit_run(450.0, 4)
+    R_450 = facade_run(450.0, 4)
+    X_225 = opsplit_run(225.0, 8)
+    R_225 = facade_run(225.0, 8)
+    s0 = sat_of(np.tile(press_ic_col, (nx, 1)))
+    signal = np.abs(sat_of(R_225) - s0).max()
+    assert signal > 1e-2            # the lateral physics moves real water
+    err_450 = np.abs(sat_of(X_450) - sat_of(R_450)).max()
+    err_225 = np.abs(sat_of(X_225) - sat_of(R_225)).max()
+    # operator-splitting error: small vs signal and shrinking >= linearly
+    # with dt (measured 3.4e-3 -> 8.7e-4 against signal 3.1e-2)
+    assert err_225 < 0.05 * signal, (err_225, signal)
+    assert err_225 < 0.5 * err_450, (err_225, err_450)
+
+    # ---- sharded UGDM evaluation == serial global evaluation ----
+    devs = jax.devices()
+    if len(devs) >= 2:
+        mesh2 = Mesh(np.array(devs[:2]), ("col",))
+        dm = ug.partition(2)
+        X = jnp.tile(jnp.asarray(press_ic_col), (nx, 1))
+        kr, _ = sf.press_to_relperm(g.sat_params, X, 1.0)
+        X_sh = jnp.asarray(dm.natural_to_sharded(np.asarray(X)))
+        kr_sh = jnp.asarray(dm.natural_to_sharded(np.asarray(kr)))
+        pe_sh = jnp.asarray(dm.natural_to_sharded(np.asarray(perm_b)))
+        dz_sh = jnp.asarray(dm.natural_to_sharded(np.asarray(dz_b)))
+        spec = P("col", None)
+        src_sh = shard_map(
+            lambda p_, k_, pe_, dz_: dm.lateral_darcy_source(
+                p_, k_, pe_, dz_, "col"),
+            mesh=mesh2, in_specs=(spec,) * 4, out_specs=spec)(
+                X_sh, kr_sh, pe_sh, dz_sh)
+        src_ser = lateral_darcy_source_global(ug, X, kr, perm_b, dz_b)
+        np.testing.assert_allclose(
+            dm.sharded_to_natural(np.asarray(src_sh)), np.asarray(src_ser),
+            rtol=1e-12, atol=1e-18)
