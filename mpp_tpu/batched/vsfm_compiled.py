@@ -240,7 +240,9 @@ class CompiledVSFM:
             if src is not None:
                 F = F - src[off:off + g.mesh.ncells_local]
             Fs.append(F)
-        return jnp.concatenate(Fs)
+        # assembly constants are f64; keep the evaluation in the state's
+        # dtype so f32 production runs stay f32 under jax_enable_x64
+        return jnp.concatenate(Fs).astype(X.dtype)
 
     def _jac_one(self, X, bc_values, ss_values, dt):
         vals = []
@@ -252,14 +254,15 @@ class CompiledVSFM:
             vals.append(g.jacobian_values(X[off:off + g.mesh.ncells_local],
                                           dt, bc_value=bc,
                                           ss_value=ss_values[k]))
-        return self.template.assemble(jnp.concatenate(vals))
+        return self.template.assemble(jnp.concatenate(vals)).astype(X.dtype)
 
     def _accum_prev_one(self, X, dt):
         out = []
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             P = X[off:off + g.mesh.ncells_local]
             active = jnp.asarray(g.mesh.is_active)
-            out.append(jnp.where(active, g.accum(P) / dt, 0.0))
+            out.append(jnp.where(active, g.accum(P) / dt,
+                                 0.0).astype(X.dtype))
         return tuple(out)
 
     # ---- batched Newton (SNES NEWTONLS + BT linesearch) --------------------

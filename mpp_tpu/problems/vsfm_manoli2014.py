@@ -136,10 +136,14 @@ def build_vsfm_manoli2014():
     return mpp
 
 
-def run_vsfm_manoli2014_problem(dtime=8640.0, nstep=3):
+def run_vsfm_manoli2014_problem(dtime=8640.0, nstep=3,
+                               use_compiled=False):
     """run_vsfm_manoli2014_problem (F90:90-169): default dt=8640 s,
     nstep=3, no BC updates inside the loop."""
     mpp = build_vsfm_manoli2014()
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         converged, reason = mpp.soe.step_dt(dtime, istep)
         assert converged, f"step {istep} diverged (reason {reason})"

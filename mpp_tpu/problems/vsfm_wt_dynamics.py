@@ -23,7 +23,8 @@ from mpp_tpu.ops import eos
 from mpp_tpu.io.regression import RegressionWriter
 
 
-def run_vsfm_wt_dynamics_problem(nz=100, dtime=3600.0, nstep=24):
+def run_vsfm_wt_dynamics_problem(nz=100, dtime=3600.0, nstep=24,
+                                 use_compiled=False):
     z_column = 1.0
     mpp = VSFMMPP()
     mpp.set_name("Variably-Saturated-Flow-Model")
@@ -66,6 +67,9 @@ def run_vsfm_wt_dynamics_problem(nz=100, dtime=3600.0, nstep=24):
 
     rain = 2.5e-5 * 1e3                      # [kg/s] (:468)
     bot = 101325.0 + 0.5 * 997.16 * 9.80868  # (:469)
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1, np.full(1, rain))
         mpp.set_data(AuxVarKind.BC, Var.BC_SS_CONDITION, 1, np.full(1, bot))
