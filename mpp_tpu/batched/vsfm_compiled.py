@@ -175,13 +175,21 @@ class CompiledVSFM:
             self._du_slots = slot_of(0, +1)
 
             # the Jacobian action for the BT initslope runs through the
-            # production stencil SpMV (ops/pallas_kernels.tridiag_spmv —
-            # the Pallas kernel bench.py measures; jnp fallback off-TPU)
+            # production stencil SpMV (ops/pallas_kernels — the kernel
+            # bench.py measures; jnp fallback off-TPU).  f32 runs store
+            # the action's diagonals in bf16 (tridiag_spmv_mixed: 30%
+            # fewer bytes/nnz, accuracy loss inside the line search's
+            # alpha=1e-4 fuzz); f64 parity runs keep full precision.
             def tridiag_mv(data, x):
-                from mpp_tpu.ops.pallas_kernels import tridiag_spmv
+                from mpp_tpu.ops.pallas_kernels import (tridiag_spmv,
+                                                        tridiag_spmv_mixed)
                 dl = data[..., self._dl_slots] * jnp.asarray(self._dl_mask)
                 d = data[..., self._d_slots]
                 du = data[..., self._du_slots] * jnp.asarray(self._du_mask)
+                if x.dtype == jnp.float32:
+                    return tridiag_spmv_mixed(dl.astype(jnp.bfloat16),
+                                              d.astype(jnp.bfloat16),
+                                              du.astype(jnp.bfloat16), x)
                 return tridiag_spmv(dl, d, du, x)
             self._matvec = tridiag_mv
             # mask out slots that don't exist (value would alias another)

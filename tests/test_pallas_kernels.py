@@ -42,3 +42,47 @@ def test_jacobi_smoother_converges_to_thomas_solution():
                               omega=0.9)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_tridiag_spmv_mixed_matches_f32():
+    """Mixed-precision Jacobian action (bf16-stored diagonals): equals
+    the f32 stencil within bf16 entry rounding; jit/vmap-safe."""
+    import jax
+    import jax.numpy as jnp
+    from mpp_tpu.ops.pallas_kernels import tridiag_spmv_mixed
+    from mpp_tpu.ops.tridiag import tridiag_matvec
+
+    rng = np.random.default_rng(3)
+    ncol, nz = 16, 32
+    dl, d, du, x = (jnp.asarray(rng.uniform(0.5, 2.0, (ncol, nz)),
+                                jnp.float32) for _ in range(4))
+    y32 = tridiag_matvec(dl, d, du, x)
+    y16 = tridiag_spmv_mixed(dl.astype(jnp.bfloat16),
+                             d.astype(jnp.bfloat16),
+                             du.astype(jnp.bfloat16), x)
+    assert y16.dtype == jnp.float32
+    # bf16 has ~3 decimal digits on the matrix entries
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=2e-2, atol=1e-3)
+    y16j = jax.jit(tridiag_spmv_mixed)(dl.astype(jnp.bfloat16),
+                                       d.astype(jnp.bfloat16),
+                                       du.astype(jnp.bfloat16), x)
+    np.testing.assert_allclose(np.asarray(y16j), np.asarray(y16),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_f32_newton_with_mixed_action_converges():
+    """The compiled f32 Newton (whose BT initslope now runs the mixed
+    bf16-diagonal action) converges identically well."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+
+    _, comp = g._build_compiled_celia(16)
+    X = jnp.full((8, 16), 3.5355e3, jnp.float32)
+    bc = jnp.tile(jnp.asarray([[9.3991e4, 3.5355e3]], jnp.float32), (8, 1))
+    ss = jnp.zeros((8, 0), jnp.float32)
+    src = jnp.zeros((8, 16), jnp.float32)
+    Xn, iters, ok, reason = comp._step_dt_batched(X, (bc,), (ss,), 3600.0,
+                                                  src)
+    assert bool(ok.all()), np.asarray(reason)
+    assert np.isfinite(np.asarray(Xn)).all()

@@ -1,8 +1,21 @@
 """Experiment: SpMV kernel variants vs stream ceiling on the TPU chip.
 
-Not part of the framework — a throwaway measurement harness for tuning
-ops/pallas_kernels.py (VERDICT round-1 weak #1: 0.60 of roofline vs 0.70
-north star).
+Not part of the framework — a measurement harness for tuning
+ops/pallas_kernels.py.  Round-3 findings on v5e (recorded so the next
+tuner doesn't re-walk the tree):
+
+* pure-elementwise XLA 5-stream ceiling: ~720 GB/s (0.88 of nominal).
+* EVERY Pallas variant — elementwise or stencil, blocks 256..2048,
+  packed operands, transposed layout, rolls vs concats, fused scale —
+  pipelines at ~490-503 GB/s (~0.61 of nominal, ~0.69 of the XLA
+  ceiling).  The limit is the Pallas DMA pipeline on this chip, NOT the
+  stencil shifts (a no-shift Pallas elementwise kernel measures the
+  same).  b2048+/b4096 hit remote-compile INTERNAL errors.
+* XLA-fused jnp stencils are worse (concat 316, pad 389, roll 268).
+* bf16-stored diagonals (f32 state/compute) move 14 B/cell instead of
+  20: 0.99 ms vs 1.34 ms -> 1.01e11 nnz/s = 0.83 of the f32-format
+  roofline at b1024.  Adopted as the production Jacobian-action format
+  for f32 runs (ops/pallas_kernels.tridiag_spmv_mixed).
 """
 import time
 import json
