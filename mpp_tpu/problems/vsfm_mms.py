@@ -101,7 +101,8 @@ def manufactured_source(x, dx, fully_saturated=False):
     return src * dx
 
 
-def run_vsfm_mms_problem(nx=20, fully_saturated=False):
+def run_vsfm_mms_problem(nx=20, fully_saturated=False,
+                         use_compiled=False):
     ny = nz = 1
     dx = (X_MAX - X_MIN) / nx
     mpp = VSFMMPP()
@@ -144,6 +145,9 @@ def run_vsfm_mms_problem(nx=20, fully_saturated=False):
     P_true = manufactured_pressure(xc, fully_saturated)
     mpp.restart(np.full(nx, P_true.mean()))
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     mpp.soe.pre_step_dt()
     mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1,
                  manufactured_source(xc, dx, fully_saturated))

@@ -75,6 +75,7 @@ def _xylem_mesh(p):
 
 
 def run_vsfm_spac_fetch2_problem(species="es", et_total=None, dtime=1800.0,
+                                 use_compiled=False,
                                  nstep=1):
     p = SPECIES[species]
     nz = p["nz"]
@@ -128,6 +129,9 @@ def run_vsfm_spac_fetch2_problem(species="es", et_total=None, dtime=1800.0,
     et[:crown] = et_total / crown
     mpp.set_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1, et)
 
+    if use_compiled:
+        from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+        compile_vsfm(mpp).install()
     for istep in range(1, nstep + 1):
         converged, reason = mpp.soe.step_dt(dtime, istep)
         assert converged, f"step {istep} diverged (reason {reason})"
