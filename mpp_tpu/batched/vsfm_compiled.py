@@ -96,7 +96,12 @@ class CompiledVSFM:
         # f32 production runs cannot satisfy the f64 PETSc defaults
         # (rtol 1e-8 / stol 1e-10 are below f32 resolution on ~1e5 Pa
         # state); dtype selects the parameter set at trace time
-        self.snes_f32 = SNESParams(rtol=1e-5, atol=1e-8, stol=1e-6,
+        # rtol 2e-4: sharp-front f32 residuals stall at ~1e-4 relative
+        # (the f32 evaluation floor); tighter settings only burn the
+        # dt-cut ladder.  The ALM-style mass audit (column_bc_flux /
+        # column_storage; bench f32_stress) measures the resulting drift
+        # directly rather than inferring it from the stop criterion.
+        self.snes_f32 = SNESParams(rtol=2e-4, atol=1e-8, stol=1e-6,
                                    ls_steptol=1e-8,
                                    ksp_rtol=self.snes.ksp_rtol)
         self.max_cuts = max_cuts
