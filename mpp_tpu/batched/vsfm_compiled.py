@@ -163,6 +163,27 @@ class CompiledVSFM:
                     f"no banded structure found and n={self.n} too large "
                     "for batched dense LU")
         if self.is_tridiag:
+            # direct-diagonal assembly: each COO contribution (in the
+            # exact order _jac_one's concatenated jacobian_values emits)
+            # maps statically to (band, row); assembly is then three
+            # scatter-adds straight into (dl, d, du) — no CSR data array,
+            # no post-assembly gathers (saves ~3 passes per iteration)
+            rows_l, cols_l = [], []
+            for g, off in zip(self.goveqns, self.offsets[:-1]):
+                r, c = g.coo_coords(off, off)
+                rows_l += [r.astype(np.int64)]
+                cols_l += [c.astype(np.int64)]
+                rc, cc = g.coupling_coords(off, self.offsets[:-1])
+                rows_l += [rc]
+                cols_l += [cc]
+            coo_r = np.concatenate(rows_l)
+            coo_c = np.concatenate(cols_l)
+            band = coo_c - coo_r + 1        # 0 = dl, 1 = d, 2 = du
+            self._tri_idx = [np.nonzero(band == b)[0].astype(np.int32)
+                             for b in (0, 1, 2)]
+            self._tri_rows = [coo_r[i].astype(np.int32)
+                              for i in self._tri_idx]
+
             # CSR slot of each (i,i-1)/(i,i)/(i,i+1) entry; missing slots
             # point at entry 0 — their value is ignored by the Thomas sweep
             # (dl[0] multiplies a zero carry; du[-1] multiplies x_{n}=0).
@@ -188,9 +209,7 @@ class CompiledVSFM:
             def tridiag_mv(data, x):
                 from mpp_tpu.ops.pallas_kernels import (tridiag_spmv,
                                                         tridiag_spmv_mixed)
-                dl = data[..., self._dl_slots] * jnp.asarray(self._dl_mask)
-                d = data[..., self._d_slots]
-                du = data[..., self._du_slots] * jnp.asarray(self._du_mask)
+                dl, d, du = data      # _jac_one_tridiag's diagonal tuple
                 if x.dtype == jnp.float32:
                     return tridiag_spmv_mixed(dl.astype(jnp.bfloat16),
                                               d.astype(jnp.bfloat16),
@@ -209,9 +228,7 @@ class CompiledVSFM:
         """Newton direction Y with J Y = F (exact).  data [ncol, nnz],
         F [ncol, n]."""
         if self.is_tridiag:
-            dl = data[:, self._dl_slots] * jnp.asarray(self._dl_mask)
-            d = data[:, self._d_slots]
-            du = data[:, self._du_slots] * jnp.asarray(self._du_mask)
+            dl, d, du = data          # _jac_one_tridiag's diagonal tuple
             return thomas(dl, d, du, F)
         if self._ilu is not None:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
@@ -269,6 +286,25 @@ class CompiledVSFM:
                                           ss_value=ss_values[k]))
         return self.template.assemble(jnp.concatenate(vals)).astype(X.dtype)
 
+    def _jac_one_tridiag(self, X, bc_values, ss_values, dt):
+        """(dl, d, du) assembled directly from the COO contributions
+        (tridiagonal plans only)."""
+        vals = []
+        for k, (g, off) in enumerate(zip(self.goveqns, self.offsets[:-1])):
+            bc = bc_values[k]
+            if self._otr_slots[k].size:
+                bc = bc.at[jnp.asarray(self._otr_slots[k])].set(
+                    X[jnp.asarray(self._otr_src[k])])
+            vals.append(g.jacobian_values(X[off:off + g.mesh.ncells_local],
+                                          dt, bc_value=bc,
+                                          ss_value=ss_values[k]))
+        v = jnp.concatenate(vals).astype(X.dtype)
+        out = []
+        for i, rows in zip(self._tri_idx, self._tri_rows):
+            out.append(jnp.zeros(self.n, X.dtype)
+                       .at[jnp.asarray(rows)].add(v[jnp.asarray(i)]))
+        return tuple(out)
+
     def _accum_prev_one(self, X, dt):
         out = []
         for g, off in zip(self.goveqns, self.offsets[:-1]):
@@ -287,7 +323,8 @@ class CompiledVSFM:
         # length-1 vector inside the single-column evaluation
         res_one = jax.vmap(self._residual_one, in_axes=(0, 0, 0, 0, 0, 0))
         res = lambda X, b, s, a, d: res_one(X, b, s, a, d, src)
-        jac = jax.vmap(self._jac_one, in_axes=(0, 0, 0, 0))
+        jac = jax.vmap(self._jac_one_tridiag if self.is_tridiag
+                       else self._jac_one, in_axes=(0, 0, 0, 0))
 
         def colnorm(A):
             return jnp.sqrt(jnp.sum(A * A, axis=-1))
@@ -327,18 +364,33 @@ class CompiledVSFM:
             acc = accept_of(lam, gnorm) | zero | done
             fail = ~acc & ~jnp.isfinite(gnorm)
 
-            # quadratic backtrack for the not-yet-accepted columns
-            denom = gnorm * gnorm - fnorm * fnorm - 2.0 * lam * initslope
-            lamq = -initslope / jnp.where(denom == 0.0, 1.0, denom)
-            lamq = jnp.where(lamq > 0.5 * lam, 0.5 * lam, lamq)
-            lamq = jnp.where(lamq <= 0.1 * lam, 0.1 * lam, lamq)
-            lamq = jnp.where(jnp.isfinite(lamq), lamq, 0.1 * lam)
+            # quadratic backtrack for the not-yet-accepted columns —
+            # skipped entirely (lax.cond) when every column accepted the
+            # full step, which is the common case: saves one batched
+            # residual evaluation per Newton iteration (~25% of step time)
             lamprev, gnormprev = lam, gnorm
-            lam2 = jnp.where(acc | fail, lam, lamq)
-            Xw2 = jnp.where((acc | fail | done)[:, None], Xw,
-                            X - lam2[:, None] * Y)
-            G2 = res(Xw2, bc, ss, accum_prev, dt)
-            gnorm2 = jnp.where(acc | fail, gnorm, colnorm(G2))
+
+            def quad_step(_):
+                denom = (gnorm * gnorm - fnorm * fnorm
+                         - 2.0 * lam * initslope)
+                lamq = -initslope / jnp.where(denom == 0.0, 1.0, denom)
+                lamq = jnp.where(lamq > 0.5 * lam, 0.5 * lam, lamq)
+                lamq = jnp.where(lamq <= 0.1 * lam, 0.1 * lam, lamq)
+                lamq = jnp.where(jnp.isfinite(lamq), lamq, 0.1 * lam)
+                lam2 = jnp.where(acc | fail, lam, lamq)
+                Xw2 = jnp.where((acc | fail | done)[:, None], Xw,
+                                X - lam2[:, None] * Y)
+                G2 = res(Xw2, bc, ss, accum_prev, dt)
+                gnorm2 = jnp.where(acc | fail, gnorm, colnorm(G2))
+                Xw2 = jnp.where((acc | fail)[:, None], Xw, Xw2)
+                G2 = jnp.where((acc | fail)[:, None], G, G2)
+                return lam2, Xw2, G2, gnorm2
+
+            def no_quad(_):
+                return lam, Xw, G, gnorm
+
+            lam2, Xw2, G2, gnorm2 = lax.cond(jnp.all(acc | fail), no_quad,
+                                             quad_step, operand=None)
 
             def cond(s):
                 lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, it = s
@@ -376,8 +428,6 @@ class CompiledVSFM:
                 return (lam3, lamprev2, gnorm3, gnormprev2, Xw3, G3, acc2,
                         fail2, it + 1)
 
-            Xw2 = jnp.where((acc | fail)[:, None], Xw, Xw2)
-            G2 = jnp.where((acc | fail)[:, None], G, G2)
             lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, _ = \
                 lax.while_loop(cond, body,
                                (lam2, lamprev, gnorm2, gnormprev, Xw2, G2,
@@ -395,10 +445,10 @@ class CompiledVSFM:
 
         def body(s):
             X, F, fnorm, it, done, reason = s
-            data = jac(X, bc, ss, dt)
-            Y = self._solve(data, F)
+            A = jac(X, bc, ss, dt)
+            Y = self._solve(A, F)
             # BT initslope from the true Jacobian action (ops/snes.py:91-95)
-            W = self._matvec(data, Y)
+            W = self._matvec(A, Y)
             islope = jnp.sum(F * W, axis=-1)
             islope = jnp.where(islope > 0.0, -islope, islope)
             islope = jnp.where(islope == 0.0, -1.0, islope)

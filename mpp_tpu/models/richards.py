@@ -578,6 +578,88 @@ class RichardsGE:
             F = F.at[sids].add(-contrib)
         return F
 
+    def residual_and_jac_values(self, P, dt, bc_value=None, ss_value=None,
+                                accum_prev=None):
+        """(F, jacobian values) from ONE constitutive/flux evaluation.
+
+        ``residual`` and ``jacobian_values`` each call the full auxvar
+        chain and the flux kernels (which already return values AND
+        derivatives together); the batched Newton calls them back-to-back
+        every iteration, so the merged form halves the dominant
+        constitutive cost (TGDPB01/VG transcendental evaluations) on the
+        compiled TPU path.  Identical math to the two separate calls."""
+        if ss_value is None:
+            ss_value = self.ss_value
+        if accum_prev is None:
+            accum_prev = self.accum_prev
+        n = self.mesh.ncells_local
+        active = jnp.asarray(self.mesh.is_active)
+        aux = self._cell_aux(P)
+        (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
+        vol = jnp.asarray(self.mesh.vol)
+        F = jnp.where(active, por * den * sat * vol / dt, 0.0) - accum_prev
+
+        ic, flux, dfu, dfd = self._internal_fluxes(P, aux)
+        iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
+        both = active[iu] & active[idn]
+        flux = jnp.where(both, flux, 0.0)
+        dfu = jnp.where(both, dfu, 0.0)
+        dfd = jnp.where(both, dfd, 0.0)
+        F = F.at[iu].add(-flux).at[idn].add(flux)
+        intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
+
+        bc_ids, flux_b, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value)
+        if bc_ids.size:
+            bids = jnp.asarray(bc_ids)
+            flux_b = jnp.where(active[bids], flux_b, 0.0)
+            F = F.at[bids].add(flux_b)
+            bc_vals = jnp.where(active[bids], dfd_b, 0.0)
+        else:
+            bc_vals = jnp.zeros(0)
+        cpl_tails = []
+        for cond, off, other, cells in self.coupled_bc_slices():
+            m = cond.num_connections
+            cpl_tails.append(dfu_b[off:off + m])
+
+        ss_ids, ss_code = self._ss_concat()
+        if ss_ids.size:
+            sids = jnp.asarray(ss_ids)
+            dP = P[sids] - PRESSURE_REF
+            Pc = jnp.asarray(self.ss_pot_sink_pressure)
+            nn = jnp.asarray(self.ss_pot_sink_exponent)
+            is_camp = np.asarray(ss_code
+                                 == int(Cond.DOWNREG_MASS_RATE_CAMPBELL))
+            is_fetch = np.asarray(ss_code
+                                  == int(Cond.DOWNREG_MASS_RATE_FETCH2))
+            dP_neg = dP <= 0.0
+            dP_safe = jnp.where(dP_neg, dP, -1.0)
+            ratio = jnp.where(jnp.asarray(is_camp | is_fetch),
+                              dP_safe / Pc, 1.0)
+            pw = ratio ** nn
+            f_camp_r = jnp.where(dP_neg, 1.0 + pw, 1.0)
+            f_fetch_r = jnp.where(dP_neg, jnp.exp(-pw), 1.0)
+            val = ss_value / FMWH2O
+            contrib = jnp.where(jnp.asarray(is_camp), val / f_camp_r,
+                                jnp.where(jnp.asarray(is_fetch),
+                                          val * f_fetch_r, val))
+            F = F.at[sids].add(-contrib)
+            f_camp = 1.0 + pw
+            f_fetch = jnp.exp(-pw)
+            v_camp = val * (nn * pw) / (dP_safe * f_camp ** 2.0)
+            v_fetch = val * (nn * pw) * f_fetch / dP_safe
+            ss_vals = jnp.where(
+                jnp.asarray(is_camp) & dP_neg, v_camp,
+                jnp.where(jnp.asarray(is_fetch) & dP_neg, v_fetch, 0.0))
+        else:
+            ss_vals = jnp.zeros(0)
+
+        accum_deriv = ((dpor * den * sat + por * dden * sat
+                        + por * den * dsat) * vol / dt)[:n]
+        diag_vals = jnp.where(active[:n], accum_deriv, 1.0)
+        vals = jnp.concatenate([intr_vals, bc_vals, ss_vals, diag_vals]
+                               + cpl_tails)
+        return F, vals
+
     def jacobian_values(self, P, dt, bc_value=None, ss_value=None):
         """A-contribution values in coo_coords order."""
         if ss_value is None:

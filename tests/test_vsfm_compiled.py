@@ -114,3 +114,26 @@ def test_batched_columns_independent():
                                    rtol=0, atol=1e-8)
     # different forcing produced different solutions
     assert np.abs(np.asarray(Xb[0] - Xb[2])).max() > 1.0
+
+
+def test_merged_residual_and_jac_equals_separate():
+    """RichardsGE.residual_and_jac_values is bitwise-equal to the two
+    separate calls (kept as a tested API for fused-evaluation drivers;
+    the batched Newton currently evaluates separately — the fused form
+    measured SLOWER on the v5e due to Jacobian carries through the
+    line-search while_loops)."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+
+    mpp, _ = g._build_compiled_celia(16)
+    ge = mpp.soe.goveqns[0]
+    P = jnp.asarray(np.linspace(3.5e3, 9.5e4, 16))
+    bc = jnp.asarray([9.3991e4, 3.5355e3])
+    ss = jnp.zeros(0)
+    ap = jnp.zeros(16)
+    F1 = ge.residual(P, 3600.0, bc_value=bc, ss_value=ss, accum_prev=ap)
+    V1 = ge.jacobian_values(P, 3600.0, bc_value=bc, ss_value=ss)
+    F2, V2 = ge.residual_and_jac_values(P, 3600.0, bc_value=bc,
+                                        ss_value=ss, accum_prev=ap)
+    assert float(jnp.abs(F1 - F2).max()) == 0.0
+    assert float(jnp.abs(V1 - V2).max()) == 0.0
