@@ -31,7 +31,6 @@ trace time (call :func:`compile_vsfm` after all property staging).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
