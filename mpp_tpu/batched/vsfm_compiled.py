@@ -26,8 +26,11 @@ is *compiled* into one pure, jitted, batched Newton timestep:
 Batching model: the compiled problem has ``n`` unknowns; the batch axis
 replicates the problem over ``ncol`` independent columns (the reference's
 rank-per-column process parallelism, SURVEY §2.8) with per-column state
-and per-column BC/SS forcing.  Constitutive parameters are closed over at
-trace time (call :func:`compile_vsfm` after all property staging).
+and per-column BC/SS forcing.  Constitutive parameters default to the
+trace-time staged values; the ``dyn`` argument of :meth:`step_batched`
+promotes them to batched dynamic inputs [ncol, ...] — per-column
+heterogeneous CLM soils, the ALM production contract
+(``MPPVSFMALM_Initialize.F90:986-992``).
 """
 from __future__ import annotations
 
@@ -253,10 +256,12 @@ class CompiledVSFM:
 
     # ---- pure single-column evaluation ------------------------------------
     def _residual_one(self, X, bc_values, ss_values, accum_prevs, dt,
-                      src=None):
+                      src, dyn):
         """``src``: optional per-cell mass source [n] (kmol/s, positive =
         source) — the operator-split lateral flux staged as a source term
-        (SystemOfEquationsVSFMType.F90:848-891)."""
+        (SystemOfEquationsVSFMType.F90:848-891).  ``dyn``: tuple of per-GE
+        dynamic-parameter dicts (RichardsGE dyn contract) — per-column
+        heterogeneous soils as batched inputs."""
         Fs = []
         for k, (g, off) in enumerate(zip(self.goveqns, self.offsets[:-1])):
             bc = bc_values[k]
@@ -265,7 +270,7 @@ class CompiledVSFM:
                     X[jnp.asarray(self._otr_src[k])])
             F = g.residual(X[off:off + g.mesh.ncells_local], dt,
                            bc_value=bc, ss_value=ss_values[k],
-                           accum_prev=accum_prevs[k])
+                           accum_prev=accum_prevs[k], dyn=dyn[k])
             if src is not None:
                 F = F - src[off:off + g.mesh.ncells_local]
             Fs.append(F)
@@ -273,7 +278,7 @@ class CompiledVSFM:
         # dtype so f32 production runs stay f32 under jax_enable_x64
         return jnp.concatenate(Fs).astype(X.dtype)
 
-    def _jac_one(self, X, bc_values, ss_values, dt):
+    def _jac_one(self, X, bc_values, ss_values, dt, dyn):
         vals = []
         for k, (g, off) in enumerate(zip(self.goveqns, self.offsets[:-1])):
             bc = bc_values[k]
@@ -282,10 +287,11 @@ class CompiledVSFM:
                     X[jnp.asarray(self._otr_src[k])])
             vals.append(g.jacobian_values(X[off:off + g.mesh.ncells_local],
                                           dt, bc_value=bc,
-                                          ss_value=ss_values[k]))
+                                          ss_value=ss_values[k],
+                                          dyn=dyn[k]))
         return self.template.assemble(jnp.concatenate(vals)).astype(X.dtype)
 
-    def _jac_one_tridiag(self, X, bc_values, ss_values, dt):
+    def _jac_one_tridiag(self, X, bc_values, ss_values, dt, dyn):
         """(dl, d, du) assembled directly from the COO contributions
         (tridiagonal plans only)."""
         vals = []
@@ -296,7 +302,8 @@ class CompiledVSFM:
                     X[jnp.asarray(self._otr_src[k])])
             vals.append(g.jacobian_values(X[off:off + g.mesh.ncells_local],
                                           dt, bc_value=bc,
-                                          ss_value=ss_values[k]))
+                                          ss_value=ss_values[k],
+                                          dyn=dyn[k]))
         v = jnp.concatenate(vals).astype(X.dtype)
         out = []
         for i, rows in zip(self._tri_idx, self._tri_rows):
@@ -304,33 +311,40 @@ class CompiledVSFM:
                        .at[jnp.asarray(rows)].add(v[jnp.asarray(i)]))
         return tuple(out)
 
-    def _accum_prev_one(self, X, dt):
+    def _accum_prev_one(self, X, dt, dyn):
         out = []
-        for g, off in zip(self.goveqns, self.offsets[:-1]):
+        for k, (g, off) in enumerate(zip(self.goveqns, self.offsets[:-1])):
             P = X[off:off + g.mesh.ncells_local]
             active = jnp.asarray(g.mesh.is_active)
-            out.append(jnp.where(active, g.accum(P) / dt,
+            out.append(jnp.where(active, g.accum(P, dyn=dyn[k]) / dt,
                                  0.0).astype(X.dtype))
         return tuple(out)
 
     # ---- batched Newton (SNES NEWTONLS + BT linesearch) --------------------
-    def _snes_batched(self, X0, bc, ss, accum_prev, dt, src):
+    def _snes_batched(self, X0, bc, ss, accum_prev, dt, src, dyn, tols):
         """Returns (X, iters[ncol], reason[ncol]) — reason uses the PETSc
-        SNESConvergedReason codes of ops/snes.py."""
+        SNESConvergedReason codes of ops/snes.py.
+
+        ``tols`` = (rtol, stol) dynamic scalars so the ALM retry ladder
+        (MPPVSFMALM_Driver.F90:886-905 rtol/stol tightening) re-solves
+        without recompiling."""
         sp = self.snes if X0.dtype == jnp.float64 else self.snes_f32
+        rtol, stol = tols
         # dt arrives as [ncol, 1] (per-column dt ladders) and maps to a
         # length-1 vector inside the single-column evaluation
-        res_one = jax.vmap(self._residual_one, in_axes=(0, 0, 0, 0, 0, 0))
-        res = lambda X, b, s, a, d: res_one(X, b, s, a, d, src)
-        jac = jax.vmap(self._jac_one_tridiag if self.is_tridiag
-                       else self._jac_one, in_axes=(0, 0, 0, 0))
+        res_one = jax.vmap(self._residual_one,
+                           in_axes=(0, 0, 0, 0, 0, 0, 0))
+        res = lambda X, b, s, a, d: res_one(X, b, s, a, d, src, dyn)
+        jac_one = (self._jac_one_tridiag if self.is_tridiag
+                   else self._jac_one)
+        jac = jax.vmap(jac_one, in_axes=(0, 0, 0, 0, 0))
 
         def colnorm(A):
             return jnp.sqrt(jnp.sum(A * A, axis=-1))
 
         F0 = res(X0, bc, ss, accum_prev, dt)
         fnorm0 = colnorm(F0)
-        ttol = fnorm0 * sp.rtol
+        ttol = fnorm0 * rtol
         nan0 = ~jnp.isfinite(fnorm0)
         done0 = nan0 | (fnorm0 < sp.atol)
         reason0 = jnp.where(nan0, DIVERGED_FNORM_NAN,
@@ -444,7 +458,7 @@ class CompiledVSFM:
 
         def body(s):
             X, F, fnorm, it, done, reason = s
-            A = jac(X, bc, ss, dt)
+            A = jac(X, bc, ss, dt, dyn)
             Y = self._solve(A, F)
             # BT initslope from the true Jacobian action (ops/snes.py:91-95)
             W = self._matvec(A, Y)
@@ -460,7 +474,7 @@ class CompiledVSFM:
             # near-equilibrium solves like vsfm_spac exit).
             ynorm_full = colnorm(Y)
             xnorm_pre = colnorm(X)
-            tiny = ~ok & (sp.stol * xnorm_pre > ynorm_full)
+            tiny = ~ok & (stol * xnorm_pre > ynorm_full)
             keep = done | tiny
             ok = ok | tiny
             X2 = jnp.where(keep[:, None], X, Xn)
@@ -474,7 +488,7 @@ class CompiledVSFM:
             r = jnp.where(nan, DIVERGED_FNORM_NAN, r)
             r = jnp.where((r == 0) & (fnorm2 < sp.atol),
                           CONVERGED_FNORM_ABS, r)
-            r = jnp.where((r == 0) & (snorm < sp.stol * xnorm),
+            r = jnp.where((r == 0) & (snorm < stol * xnorm),
                           CONVERGED_SNORM_RELATIVE, r)
             r = jnp.where((r == 0) & (fnorm2 <= ttol),
                           CONVERGED_FNORM_RELATIVE, r)
@@ -496,7 +510,7 @@ class CompiledVSFM:
         return X, iters, reason
 
     # ---- StepDT ladder (SOEBaseStepDT_SNES, per-column) --------------------
-    def _step_dt_batched(self, X_prev, bc, ss, dt, src):
+    def _step_dt_batched(self, X_prev, bc, ss, dt, src, dyn, tols):
         """One driver timestep ``dt``: per-column Newton with per-column
         dt-cut ladders (×0.5, up to max_cuts, restoring the column's
         previous solution on divergence)."""
@@ -514,9 +528,9 @@ class CompiledVSFM:
             dte = jnp.minimum(dtc, dt_total - t)
             dte = jnp.where(active, dte, dt_total)
             accum_prev = jax.vmap(self._accum_prev_one,
-                                  in_axes=(0, 0))(X, dte[:, None])
+                                  in_axes=(0, 0, 0))(X, dte[:, None], dyn)
             Xn, nits, rsn = self._snes_batched(X, bc, ss, accum_prev,
-                                               dte[:, None], src)
+                                               dte[:, None], src, dyn, tols)
             conv = rsn > 0
             ok = active & conv
             div = active & ~conv
@@ -535,45 +549,73 @@ class CompiledVSFM:
         return X, iters, (t >= dt_total) & ~failed, reason
 
     # ---- mass-balance audit (ALM-style, MPPVSFMALM_Driver.F90:~660) -------
-    def column_storage(self, X):
+    def column_storage(self, X, dyn=None):
         """Total water storage per column [kmol]: sum of por*den*sat*vol
         over all cells (X [ncol, n])."""
-        def one(x):
-            tot = 0.0
-            for g, off in zip(self.goveqns, self.offsets[:-1]):
-                P = x[off:off + g.mesh.ncells_local]
-                active = jnp.asarray(g.mesh.is_active)
-                tot = tot + jnp.sum(jnp.where(active, g.accum(P), 0.0))
-            return tot
-        return jax.vmap(one)(X)
+        dyn = self._dyn_or_empty(dyn)
 
-    def column_bc_flux(self, X, bc_values):
-        """Net assembled BC flux per column [kmol/s], with the residual's
-        sign convention (F_cell += flux): storage change per implicit
-        step satisfies ΔS = -dt * column_bc_flux(X_new, bc) + dt*sources
-        at exact convergence."""
-        def one(x, bcs):
+        def one(x, dy):
             tot = 0.0
             for k, (g, off) in enumerate(zip(self.goveqns,
                                              self.offsets[:-1])):
                 P = x[off:off + g.mesh.ncells_local]
-                aux = g._cell_aux(P)
-                bc_ids, flux_b, _, _ = g._bc_fluxes(P, aux, bcs[k])
+                active = jnp.asarray(g.mesh.is_active)
+                tot = tot + jnp.sum(jnp.where(active,
+                                              g.accum(P, dyn=dy[k]), 0.0))
+            return tot
+        return jax.vmap(one)(X, dyn)
+
+    def column_bc_flux(self, X, bc_values, dyn=None):
+        """Net assembled BC flux per column [kmol/s], with the residual's
+        sign convention (F_cell += flux): storage change per implicit
+        step satisfies ΔS = -dt * column_bc_flux(X_new, bc) + dt*sources
+        at exact convergence."""
+        dyn = self._dyn_or_empty(dyn)
+
+        def one(x, bcs, dy):
+            tot = 0.0
+            for k, (g, off) in enumerate(zip(self.goveqns,
+                                             self.offsets[:-1])):
+                P = x[off:off + g.mesh.ncells_local]
+                aux = g._cell_aux(P, dy[k])
+                bc_ids, flux_b, _, _ = g._bc_fluxes(P, aux, bcs[k], dy[k])
                 if bc_ids.size:
                     tot = tot + jnp.sum(flux_b)
             return tot
-        return jax.vmap(one)(X, bc_values)
+        return jax.vmap(one)(X, bc_values, dyn)
 
     # ---- public API --------------------------------------------------------
-    def step_batched(self, X, bc_values, ss_values, dt, src=None):
+    def _dyn_or_empty(self, dyn):
+        if dyn is None:
+            return tuple({} for _ in self.goveqns)
+        dyn = tuple(dict(d) for d in dyn)
+        if any(("sat" in d or "perm" in d or "por_base" in d) for d in dyn) \
+                and any(s.size for s in self._otr_slots):
+            raise NotImplementedError(
+                "dynamic constitutive parameters are not supported on "
+                "problems with coupled-GE BCs (update_connections swaps "
+                "BC-side parameters between GEs; the dyn gather assumes "
+                "own-cell inheritance)")
+        return dyn
+
+    def step_batched(self, X, bc_values, ss_values, dt, src=None, dyn=None,
+                     rtol=None, stol=None):
         """Batched step: X [ncol, n]; bc_values/ss_values tuples of
         [ncol, nbc_g]/[ncol, nss_g] per GE; optional ``src`` [ncol, n]
-        per-cell mass source (operator-split lateral coupling).  Returns
-        (X, total_newton_iters, success[ncol], reason[ncol])."""
+        per-cell mass source (operator-split lateral coupling); optional
+        ``dyn`` tuple of per-GE dynamic-parameter dicts with leading
+        [ncol] batch axes (per-column heterogeneous soils — the ALM
+        production contract); optional ``rtol``/``stol`` scalar overrides
+        (dynamic: the retry ladder re-solves without recompiling).
+        Returns (X, total_newton_iters, success[ncol], reason[ncol])."""
         if src is None:
             src = jnp.zeros_like(X)
+        dyn = self._dyn_or_empty(dyn)
+        sp = self.snes if X.dtype == jnp.float64 else self.snes_f32
+        tols = (jnp.asarray(sp.rtol if rtol is None else rtol, X.dtype),
+                jnp.asarray(sp.stol if stol is None else stol, X.dtype))
         return self._step_jit(X, tuple(bc_values), tuple(ss_values), dt,
-                              src)
+                              src, dyn, tols)
 
     def gather_inputs(self, ncol=1):
         """Current staged BC/SS condition values, broadcast to ncol."""
@@ -616,6 +658,7 @@ def compile_vsfm(mpp, **kw) -> CompiledVSFM:
 
     Call after the 8-step builder sequence, property staging, and (for
     coupled problems) ``update_connections()``.  Constitutive parameters
-    are baked in at trace time; BC/SS condition values remain dynamic
-    inputs."""
+    default to the staged trace-time values; BC/SS condition values are
+    always dynamic inputs, and per-column parameter arrays can be passed
+    per step via ``step_batched(..., dyn=...)``."""
     return CompiledVSFM(mpp, **kw)

@@ -520,13 +520,18 @@ class PhotosynthesisAuxVars:
         vpd_min = 100.0
         self.g0 = self.g0opt.copy()
         self.g1 = self.g1opt.copy()
+        # lanes with gbv == 0 (non-leaf cells in a staged multi-layer
+        # batch) are dead: an <= 0 there, so gs falls back to g0 below
+        # regardless of bq — mask the denominator to keep the evaluation
+        # warning-clean without changing any live lane
+        gbv_safe = np.where(self.gbv > 0.0, self.gbv, 1.0)
         for idof in range(self.ndof):
             an = self.an[:, idof]
             vpd_term = np.maximum(self.esat - self.ceair, vpd_min) * 0.001
             term = 1.6 * an / self.cs
             aq = np.ones(self.n)
             bq = -(2.0 * (self.g0 + term)
-                   + (self.g1 * term) ** 2.0 / (self.gbv * vpd_term))
+                   + (self.g1 * term) ** 2.0 / (gbv_safe * vpd_term))
             cq = self.g0 * self.g0 + (2.0 * self.g0 + term * (
                 1.0 - self.g1 * self.g1 / vpd_term)) * term
             r1, r2 = quadratic(aq, bq, cq)
@@ -545,8 +550,10 @@ class PhotosynthesisAuxVars:
             self._electron_transport_rate()
             self._c3_metabolic_rate()
             self._c3_net_assimilation()
+        # gbc == 0 marks dead (non-leaf) lanes; divide only live lanes
+        gbc_safe = np.where(self.gbc > 0.0, self.gbc, 1.0)
         for idof in range(self.ndof):
-            self.cs = np.maximum(self.cair - self.an[:, idof] / self.gbc, 1.0)
+            self.cs = np.maximum(self.cair - self.an[:, idof] / gbc_safe, 1.0)
         self.esat, self.desat = sat_vap_np(self.tleaf)
         self.ceair = np.minimum(np.maximum(self.eair, 0.20 * self.esat),
                                 self.esat)
@@ -575,8 +582,9 @@ class PhotosynthesisAuxVars:
         self._c3_temperature_response()
         self._electron_transport_rate()
         self._c3_net_assimilation_from_gs()
+        gbc_safe = np.where(self.gbc > 0.0, self.gbc, 1.0)
         for idof in range(self.ndof):
-            self.cs = np.maximum(self.cair - self.an[:, idof] / self.gbc, 1.0)
+            self.cs = np.maximum(self.cair - self.an[:, idof] / gbc_safe, 1.0)
         self.esat, self.desat = sat_vap_np(self.tleaf)
         self.ceair = np.minimum(np.maximum(self.eair, 0.20 * self.esat),
                                 self.esat)

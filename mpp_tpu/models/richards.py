@@ -319,6 +319,15 @@ class RichardsGE:
             return np.zeros(0, np.int32), np.zeros(0, np.int32)
         return np.concatenate(ids).astype(np.int32), np.concatenate(code)
 
+    def _bc_unit_vecs(self):
+        """Concatenated [nbc, 3] BC-connection unit vectors."""
+        out = []
+        for cond in self.boundary_conditions:
+            cs = cond.conn_set
+            out.append(cs.unit_vec if cs.unit_vec is not None
+                       else np.zeros((cs.num_connections, 3)))
+        return np.concatenate(out) if out else np.zeros((0, 3))
+
     def _bc_perms(self):
         """Directional permeabilities on BC connections: BC auxvar side and
         adjacent-cell side (|unit| . perm)."""
@@ -361,10 +370,58 @@ class RichardsGE:
     # staged attributes (the serial SoE path); the compiled/batched TPU
     # path (batched/vsfm_compiled.py) passes them explicitly so the whole
     # evaluation is a pure function of its arguments.
-    def _cell_aux(self, P):
-        return richards_aux(P, self.sat_params, self.por_params,
-                            self.temperature, self.frac_liq_sat,
-                            self.density_type)
+    #
+    # ``dyn`` (optional dict) promotes constitutive parameters from
+    # trace-time constants to dynamic inputs — the per-column
+    # heterogeneous-soil contract of the ALM production path
+    # (MPPVSFMALM_Initialize.F90:986-992 stages per-column CLM soils).
+    # Recognized keys (all optional; arrays sized like the staged
+    # attribute they override):
+    #   "sat"          dict of SatParams real-field overrides [n]
+    #   "por_base"     porosity base [n]
+    #   "perm"         permeability [n, 3]
+    #   "temperature"  [n]            "frac_liq" [n]
+    #   "vol"          cell volume [n] (per-column geometry)
+    #   "in_dist_up"/"in_dist_dn"/"in_area"   internal-conn geometry
+    #   "bc_dist_up"/"bc_dist_dn"/"bc_area"   BC-conn geometry
+    # BC-side parameters are gathered from the adjacent cell's dynamic
+    # values (the _copy_params_to_bc_ss contract, VSFMMPPSetSoilsCLM:
+    # 422-471); coupled-GE parameter swaps (update_connections) are NOT
+    # supported with dyn — the compiled path rejects that combination.
+    def _dyn_cell_params(self, dyn):
+        if not dyn:
+            return (self.sat_params, self.por_params, self.temperature,
+                    self.frac_liq_sat)
+        sp = self.sat_params
+        if "sat" in dyn:
+            sp = dataclasses.replace(sp, **dyn["sat"])
+        pp = self.por_params
+        if "por_base" in dyn:
+            pp = dataclasses.replace(pp, porosity_base=dyn["por_base"])
+        temp = dyn.get("temperature", self.temperature)
+        fl = dyn.get("frac_liq", self.frac_liq_sat)
+        return sp, pp, temp, fl
+
+    def _dyn_bc_params(self, dyn, bc_ids):
+        """BC-side constitutive params: adjacent-cell dynamic values."""
+        if not dyn:
+            return (self.bc_sat_params, self.bc_por_params,
+                    self.bc_temperature)
+        bids = jnp.asarray(bc_ids)
+        sp = self.bc_sat_params
+        if "sat" in dyn:
+            sp = dataclasses.replace(
+                sp, **{k: v[bids] for k, v in dyn["sat"].items()})
+        pp = self.bc_por_params
+        if "por_base" in dyn:
+            pp = dataclasses.replace(pp, porosity_base=dyn["por_base"][bids])
+        temp = (dyn["temperature"][bids] if "temperature" in dyn
+                else self.bc_temperature)
+        return sp, pp, temp
+
+    def _cell_aux(self, P, dyn=None):
+        sp, pp, temp, fl = self._dyn_cell_params(dyn)
+        return richards_aux(P, sp, pp, temp, fl, self.density_type)
 
     def _bc_aux_pressure(self, P, bc_value=None):
         """UpdateAuxVarsBC: Dirichlet/seepage take the condition value;
@@ -413,30 +470,46 @@ class RichardsGE:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return np.concatenate(rows), np.concatenate(cols)
 
-    def accum(self, P):
+    def accum(self, P, dyn=None):
         """por*den*sat*vol/dt — without dt: caller divides."""
-        sat, _, _, _, den, _, _, _, por, _ = self._cell_aux(P)
-        vol = jnp.asarray(self.mesh.vol)
+        sat, _, _, _, den, _, _, _, por, _ = self._cell_aux(P, dyn)
+        vol = (dyn["vol"] if dyn and "vol" in dyn
+               else jnp.asarray(self.mesh.vol))
         return por * den * sat * vol
 
-    def _internal_fluxes(self, P, aux):
+    def _internal_fluxes(self, P, aux, dyn=None):
         """(flux, dflux_up, dflux_dn) over internal connections, blending
         Darcy and conductance flux models by the static per-conn type."""
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
         ic = self._internal()
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
-        perm_up = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
-                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
-                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
-        perm_dn = (np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
-                   + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
-                   + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
+        if dyn and "perm" in dyn:
+            uva = jnp.asarray(np.abs(ic.unit_vec))
+            pv = dyn["perm"]
+            perm_up = (uva[:, 0] * pv[iu, 0] + uva[:, 1] * pv[iu, 1]
+                       + uva[:, 2] * pv[iu, 2])
+            perm_dn = (uva[:, 0] * pv[idn, 0] + uva[:, 1] * pv[idn, 1]
+                       + uva[:, 2] * pv[idn, 2])
+        else:
+            perm_up = jnp.asarray(
+                np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_up, 0]
+                + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_up, 1]
+                + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_up, 2])
+            perm_dn = jnp.asarray(
+                np.abs(ic.unit_vec[:, 0]) * self.perm[ic.id_dn, 0]
+                + np.abs(ic.unit_vec[:, 1]) * self.perm[ic.id_dn, 1]
+                + np.abs(ic.unit_vec[:, 2]) * self.perm[ic.id_dn, 2])
+        d_up = (dyn["in_dist_up"] if dyn and "in_dist_up" in dyn
+                else jnp.asarray(ic.dist_up))
+        d_dn = (dyn["in_dist_dn"] if dyn and "in_dist_dn" in dyn
+                else jnp.asarray(ic.dist_dn))
+        ar = (dyn["in_area"] if dyn and "in_area" in dyn
+              else jnp.asarray(ic.area))
         flux, dfu, dfd = darcy_flux(
             P[iu], P[idn], kr[iu], kr[idn], dkr[iu], dkr[idn], den[iu],
             den[idn], dden[iu], dden[idn], vis[iu], vis[idn], dvis[iu],
-            dvis[idn], jnp.asarray(perm_up), jnp.asarray(perm_dn),
-            jnp.asarray(ic.dist_up), jnp.asarray(ic.dist_dn),
-            jnp.asarray(ic.area), jnp.asarray(ic.unit_vec[:, 2]),
+            dvis[idn], perm_up, perm_dn,
+            d_up, d_dn, ar, jnp.asarray(ic.unit_vec[:, 2]),
             internal=True)
         ca = self.conn_in
         if ca is not None and ca.any_conductance:
@@ -446,14 +519,14 @@ class RichardsGE:
                 jnp.asarray(ca.conductance_dn), ca.upwind_weight)
             cflux, cdfu, cdfd = conductance_flux(
                 P[iu], P[idn], den[iu], den[idn], dden[iu], dden[idn],
-                krg, dkrg_up, dkrg_dn, jnp.asarray(ic.area))
+                krg, dkrg_up, dkrg_dn, ar)
             is_cond = jnp.asarray(ca.flux_type == int(FluxType.CONDUCTANCE))
             flux = jnp.where(is_cond, cflux, flux)
             dfu = jnp.where(is_cond, cdfu, dfu)
             dfd = jnp.where(is_cond, cdfd, dfd)
         return ic, flux, dfu, dfd
 
-    def _bc_fluxes(self, P, aux, bc_value=None):
+    def _bc_fluxes(self, P, aux, bc_value=None, dyn=None):
         """(bc cell ids, flux, dflux_dn, dflux_up) over BC connections.
 
         ``swap_order`` connections (coupled-GE BCs on the higher-rank side)
@@ -469,17 +542,35 @@ class RichardsGE:
             return bc_ids, jnp.zeros(0), jnp.zeros(0), jnp.zeros(0)
         bids = jnp.asarray(bc_ids)
         P_bc = self._bc_aux_pressure(P, bc_value)
+        sp_b, pp_b, temp_b = self._dyn_bc_params(dyn, bc_ids)
         (sat_b, dsat_b, kr_b, dkr_b, den_b, dden_b, vis_b, dvis_b,
          por_b, dpor_b) = richards_aux(
-            P_bc, self.bc_sat_params, self.bc_por_params,
-            self.bc_temperature, jnp.ones_like(P_bc), self.density_type)
-        perm_b, perm_cell = self._bc_perms()
+            P_bc, sp_b, pp_b, temp_b, jnp.ones_like(P_bc),
+            self.density_type)
+        if dyn and "perm" in dyn:
+            # directional perm on both sides from the adjacent cell's
+            # dynamic values (BC auxvars inherit the cell's parameters)
+            uva = jnp.asarray(np.abs(self._bc_unit_vecs()))
+            pv = dyn["perm"]
+            perm_cell = (uva[:, 0] * pv[bids, 0] + uva[:, 1] * pv[bids, 1]
+                         + uva[:, 2] * pv[bids, 2])
+            perm_b = perm_cell
+        else:
+            perm_b, perm_cell = self._bc_perms()
+            perm_b = jnp.asarray(perm_b)
+            perm_cell = jnp.asarray(perm_cell)
+        bdup_e = (dyn["bc_dist_up"] if dyn and "bc_dist_up" in dyn
+                  else jnp.asarray(bdup))
+        bddn_e = (dyn["bc_dist_dn"] if dyn and "bc_dist_dn" in dyn
+                  else jnp.asarray(bddn))
+        barea_e = (dyn["bc_area"] if dyn and "bc_area" in dyn
+                   else jnp.asarray(barea))
         seep = bcode == int(Cond.SEEPAGE_BC)
         flux, _dfu, dfd = darcy_flux(
             P_bc, P[bids], kr_b, kr[bids], dkr_b, dkr[bids], den_b,
             den[bids], dden_b, dden[bids], vis_b, vis[bids], dvis_b,
-            dvis[bids], jnp.asarray(perm_b), jnp.asarray(perm_cell),
-            jnp.asarray(bdup), jnp.asarray(bddn), jnp.asarray(barea),
+            dvis[bids], perm_b, perm_cell,
+            bdup_e, bddn_e, barea_e,
             jnp.asarray(buvz), internal=False, cond_kind=bcode,
             seepage_mask=seep)
         # Darcy-coupled BCs (COND_DIRICHLET_FRM_OTR_GOVEQ): the up-side
@@ -504,9 +595,9 @@ class RichardsGE:
             flux2, dfu2, dfd2 = darcy_flux(
                 P[bids], P_bc, kr[bids], kr_b, dkr[bids], dkr_b,
                 den[bids], den_b, dden[bids], dden_b, vis[bids], vis_b,
-                dvis[bids], dvis_b, jnp.asarray(perm_cell),
-                jnp.asarray(perm_b), jnp.asarray(bdup), jnp.asarray(bddn),
-                jnp.asarray(barea), -jnp.asarray(buvz), internal=False,
+                dvis[bids], dvis_b, perm_cell,
+                perm_b, bdup_e, bddn_e,
+                barea_e, -jnp.asarray(buvz), internal=False,
                 cond_kind=bcode, seepage_mask=seep)
             swapj = jnp.asarray(swap_np)
             flux = jnp.where(swapj, -flux2, flux)
@@ -523,14 +614,15 @@ class RichardsGE:
             dkrg_dn_eff = jnp.where(swap, dkrg_up, dkrg_dn)
             cflux, cdfu, cdfd = conductance_flux(
                 P_bc, P[bids], den_b, den[bids], dden_b, dden[bids],
-                krg, dkrg_up_eff, dkrg_dn_eff, jnp.asarray(barea))
+                krg, dkrg_up_eff, dkrg_dn_eff, barea_e)
             is_cond = jnp.asarray(ca.flux_type == int(FluxType.CONDUCTANCE))
             flux = jnp.where(is_cond, cflux, flux)
             dfd = jnp.where(is_cond, cdfd, dfd)
             dfu = jnp.where(is_cond, cdfu, dfu)
         return bc_ids, flux, dfd, dfu
 
-    def residual(self, P, dt, bc_value=None, ss_value=None, accum_prev=None):
+    def residual(self, P, dt, bc_value=None, ss_value=None, accum_prev=None,
+                 dyn=None):
         """F (length ncells_local)."""
         if ss_value is None:
             ss_value = self.ss_value
@@ -538,19 +630,20 @@ class RichardsGE:
             accum_prev = self.accum_prev
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
-        aux = self._cell_aux(P)
+        aux = self._cell_aux(P, dyn)
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
-        vol = jnp.asarray(self.mesh.vol)
+        vol = (dyn["vol"] if dyn and "vol" in dyn
+               else jnp.asarray(self.mesh.vol))
         F = jnp.where(active, por * den * sat * vol / dt, 0.0)
         F = F - accum_prev
 
-        ic, flux, _, _ = self._internal_fluxes(P, aux)
+        ic, flux, _, _ = self._internal_fluxes(P, aux, dyn)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
         flux = jnp.where(both, flux, 0.0)
         F = F.at[iu].add(-flux).at[idn].add(flux)
 
-        bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux, bc_value)
+        bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux, bc_value, dyn)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
@@ -579,7 +672,7 @@ class RichardsGE:
         return F
 
     def residual_and_jac_values(self, P, dt, bc_value=None, ss_value=None,
-                                accum_prev=None):
+                                accum_prev=None, dyn=None):
         """(F, jacobian values) from ONE constitutive/flux evaluation.
 
         ``residual`` and ``jacobian_values`` each call the full auxvar
@@ -594,12 +687,13 @@ class RichardsGE:
             accum_prev = self.accum_prev
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
-        aux = self._cell_aux(P)
+        aux = self._cell_aux(P, dyn)
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
-        vol = jnp.asarray(self.mesh.vol)
+        vol = (dyn["vol"] if dyn and "vol" in dyn
+               else jnp.asarray(self.mesh.vol))
         F = jnp.where(active, por * den * sat * vol / dt, 0.0) - accum_prev
 
-        ic, flux, dfu, dfd = self._internal_fluxes(P, aux)
+        ic, flux, dfu, dfd = self._internal_fluxes(P, aux, dyn)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
         flux = jnp.where(both, flux, 0.0)
@@ -608,7 +702,7 @@ class RichardsGE:
         F = F.at[iu].add(-flux).at[idn].add(flux)
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
-        bc_ids, flux_b, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value)
+        bc_ids, flux_b, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value, dyn)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
@@ -660,17 +754,18 @@ class RichardsGE:
                                + cpl_tails)
         return F, vals
 
-    def jacobian_values(self, P, dt, bc_value=None, ss_value=None):
+    def jacobian_values(self, P, dt, bc_value=None, ss_value=None, dyn=None):
         """A-contribution values in coo_coords order."""
         if ss_value is None:
             ss_value = self.ss_value
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
-        aux = self._cell_aux(P)
+        aux = self._cell_aux(P, dyn)
         (sat, dsat, kr, dkr, den, dden, vis, dvis, por, dpor) = aux
-        vol = jnp.asarray(self.mesh.vol)
+        vol = (dyn["vol"] if dyn and "vol" in dyn
+               else jnp.asarray(self.mesh.vol))
 
-        ic, _, dfu, dfd = self._internal_fluxes(P, aux)
+        ic, _, dfu, dfd = self._internal_fluxes(P, aux, dyn)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
         dfu = jnp.where(both, dfu, 0.0)
@@ -678,7 +773,7 @@ class RichardsGE:
         # F_up -= flux ; F_dn += flux
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
-        bc_ids, _, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value)
+        bc_ids, _, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value, dyn)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             # F_cell += flux  -> J[c,c] += dflux_dP_dn
