@@ -570,6 +570,8 @@ class CompiledVSFM:
         sign convention (F_cell += flux): storage change per implicit
         step satisfies ΔS = -dt * column_bc_flux(X_new, bc) + dt*sources
         at exact convergence."""
+        if not any(len(g._bc_concat()[0]) for g in self.goveqns):
+            return jnp.zeros(X.shape[0], X.dtype)
         dyn = self._dyn_or_empty(dyn)
 
         def one(x, bcs, dy):

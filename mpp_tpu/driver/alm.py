@@ -1,42 +1,76 @@
-"""ELM/ALM host-model coupling layer, TPU-native.
+"""ELM/ALM host-model coupling layer on the compiled full-physics path.
 
 Re-implements the production coupling path of the reference
 (``src/driver/alm/MPPVSFMALM_Driver.F90``, ``MPPVSFMALM_Initialize.F90``):
 the land model hands the framework a batch of soil columns with CLM-style
 state and fluxes each timestep; the framework stages unit-converted
 source/sink terms, exchanges ghost-column data for lateral connectivity,
-solves VSFM, audits per-column mass balance, and unpacks results back to
-CLM arrays.
+solves the FULL VSFM physics, audits per-column mass balance, and unpacks
+results back to CLM arrays.
 
-Reference semantics reproduced here (file:line citations):
+The VSFM problem is built through the ``VSFMMPP`` facade exactly as the
+reference builds it (``MPPVSFMALM_Initialize.F90``):
+
+* one Richards GE over a CLM column mesh;
+* SS ``COND_MASS_RATE`` conditions Infiltration/Dew/Snow-disappearance/
+  Sublimation (top cells) and Evapotranspiration/Drainage (all cells),
+  plus Lateral_flux (all cells) under the 'source_sink' lateral model and
+  an optional ``COND_SEEPAGE_BC`` at the top (ibid:814-882);
+* per-column heterogeneous CLM soils (``VSFMMPPSetSoils`` with the
+  ``vsfm_satfunc_type`` family and ``DENSITY_TGDPB01``, ibid:986-992)
+
+and frozen by :func:`~mpp_tpu.batched.vsfm_compiled.compile_vsfm` into
+one jitted batched Newton step; the per-column soils, temperatures and
+liquid fractions ride the compiled path's dynamic-parameter contract
+(``dyn``), so the production driver solves the complete physics — density
+dispatch with dden/dP (``EOSWaterMod.F90:38-78``), every CLM saturation
+function (``SaturationFunction.F90``), seepage clamping
+(``RichardsMod.F90:281-299``) — not a simplified second implementation.
+
+Reference semantics reproduced (file:line):
 
 * flux unit conversion mm/s -> kg/s via ``area * denh2o * 1e-3``
-  (MPPVSFMALM_Driver.F90:298 flux_unit_conversion).
-* ET sink per layer ``-qflx_tran_veg * rootr(j)`` and infiltration source
-  into the top cell (ibid:301-315).
-* lateral ghost exchange of pressure before the solve (ibid:479-490,
-  ``ExchangeColumnLevelGhostData``) and the operator-split 'source_sink'
-  lateral model: explicit lateral Darcy flux from ghosted states fed as a
-  source term to the implicit vertical solve, with ``qflx_lateral``
+  (MPPVSFMALM_Driver.F90:298).
+* ET sink ``-qflx_tran_veg * rootr(j)``, infiltration/dew/sublimation
+  into the top cell, per-layer drainage split below the water table with
+  the ``watmin`` availability limiter (ibid:301-370).
+* frac_liq staged from ice fractions each step (ibid:445-465).
+* lateral ghost exchange before the solve and the operator-split
+  'source_sink' lateral model: explicit lateral Darcy flux from ghosted
+  states staged as the Lateral_flux SS condition, ``qflx_lateral``
   returned in mm/s (ibid:465-532).
 * retry loop, max 10 attempts (ibid:620-930): on divergence switch
   ``stol`` to the alternate 1e-10 and, after a second divergence, reset
-  ``frac_liq=1`` (ibid:650-667); on convergence audit the per-column mass
-  balance ``|mass_beg - mass_end + total_flux*dt| < max_abs_mass_error_col
-  = 1e-5`` kg (ibid:140,861-863) and if violated tighten rtol or stol by
-  10x according to the converged reason (ibid:886-905) and re-solve; hard
-  error after ``max_iter_count`` attempts (ibid:919-922).
+  ``frac_liq=1`` (ibid:650-667); on convergence audit the per-column
+  mass balance ``|mass_beg - mass_end + total_flux*dt| <
+  max_abs_mass_error_col = 1e-5`` kg (ibid:140,861-863) and if violated
+  tighten rtol or stol by 10x according to the converged reason
+  (ibid:886-905) and re-solve; hard error after ``max_iter_count``
+  attempts (ibid:919-922).
 * unpacking: ``h2osoi_liq/ice`` from cell mass split by ``frac_ice``
-  (ibid:840-843), ``smp_l`` in mm from matrix potential in m (ibid:851),
-  water-table depth ``zwt`` interpolated at the first unsaturated layer
-  (ibid:866-873), ``qcharge = 0`` (ibid:864).
+  (ibid:840-843), ``smp_l`` in mm (ibid:851), water-table depth ``zwt``
+  interpolated at the first unsaturated layer (ibid:866-873),
+  ``qflx_seepage`` from the seepage-BC mass exchange (ibid:736-738),
+  ``qcharge = 0`` (ibid:864).
+
+Beyond the reference (TPU production hardening): for f32 state the audit
+drives a **per-column f64 escalation** — columns whose mass-balance error
+persists above the audit threshold (the f32 evaluation floor, not a
+solver-policy failure) are gathered, re-solved from the pre-step state in
+f64 on the same compiled stepper, and scattered back; the reference has
+no analog because it always runs f64.
 
 TPU-native mapping: each MPI rank's ``begc:endc`` column loop becomes a
-batched [ncol, nz] state solved by one masked Newton
-(models/vsfm_batched); host-model MPI ghost exchange becomes ppermute
-halos inside shard_map over the device-mesh column axis
-(parallel/sharding).  The retry ladder stays host-side Python around the
-jitted solve, exactly where the reference keeps it (driver, not library).
+batched [ncol, nz] state solved by one masked Newton (the compiled
+stepper's per-column dt ladders); host-model MPI ghost exchange becomes
+ppermute halos inside shard_map over the device-mesh column axis
+(parallel/sharding, parallel/ugrid).  The retry ladder stays host-side
+Python around the jitted solve, exactly where the reference keeps it
+(driver, not library).
+
+Level convention: arrays are [ncol, nz] with level 0 at the column
+BOTTOM and level nz-1 at the surface (the mesh is built bottom-first;
+``region_connection_set(SOIL_TOP_CELLS)`` resolves the surface cell).
 """
 from __future__ import annotations
 
@@ -47,12 +81,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpp_tpu.constants import DENH2O, FMWH2O, GRAVITY_CONSTANT, PRESSURE_REF
-from mpp_tpu.models import vsfm_batched as vb
+from mpp_tpu.constants import (Cond, ConnKind, GEType, MPPType, Region,
+                               MeshType as MeshKind, DENH2O, FMWH2O,
+                               GRAVITY_CONSTANT, GRAV_CLM, PRESSURE_REF)
+from mpp_tpu.dtypes.mesh import column_mesh
+from mpp_tpu.models.richards import VSFMMPP
+from mpp_tpu.ops import eos, satfunc as sf
+from mpp_tpu.ops.snes import (CONVERGED_FNORM_RELATIVE,
+                              CONVERGED_SNORM_RELATIVE)
+from mpp_tpu.batched.vsfm_compiled import compile_vsfm
 
 MAX_ITER_COUNT = 10              # MPPVSFMALM_Driver.F90:116 max_iter_count
 STOL_ALTERNATE = 1e-10           # ibid:122 stol_alternate
 MAX_ABS_MASS_ERROR_COL = 1e-5    # ibid:140 [kg]
+WATMIN = 0.01                    # CLM clm_varcon watmin [kg/m^2]
+VISH2O = 0.001002                # VSFMMPPSetSoilsCLM vish2o [N s/m^2]
 
 
 @dataclasses.dataclass
@@ -63,13 +106,16 @@ class ALMVSFMProblem:
     ``MPPVSFMALM_Initialize.F90`` analog); advanced every land-model step
     by :func:`alm_vsfm_solve`.
     """
-    params: vb.ColumnParams          # per-level soil params, [ncol, nz]
+    mpp: VSFMMPP                     # template single-column facade problem
+    comp: object                     # CompiledVSFM stepper
+    dyn: tuple                       # per-GE dynamic params, [ncol, ...]
     P: jnp.ndarray                   # soil liquid pressure [Pa], [ncol, nz]
-    frac_liq: jnp.ndarray            # liquid fraction, [ncol, nz]
     area: np.ndarray                 # column area [m^2], [ncol]
     dz: np.ndarray                   # layer thickness [m], [ncol, nz]
     zi: np.ndarray                   # interface depth below surface [m],
-                                     # [ncol, nz+1] (zi[:,0]=0)
+                                     # [ncol, nz+1] (zi[:,0]=0, top-first)
+    ss_slices: dict                  # condition name -> (offset, size)
+    include_seepage_bc: bool = False
     lateral_connectivity: bool = False
     lateral_conductance: float = 0.0  # [kmol/s/Pa] per column pair (ring)
     mesh_axis: Optional[str] = None   # shard_map axis name when sharded
@@ -80,10 +126,13 @@ class ALMVSFMProblem:
     # (replacing the 1-D ring + scalar-conductance model)
     ugrid: Optional[object] = None    # parallel.ugrid.UGrid
     ugdm: Optional[object] = None     # parallel.ugrid.UGDM
-    # defaults mirror SNESSetTolerances in MPPSetupProblemSNES
+    # defaults mirror SNESSetTolerances in MPPSetupProblemSNES; for f32
+    # state the compiled stepper substitutes its f32-floor parameter set
     atol: float = 1e-10
     rtol: float = 1e-8
     stol: float = 1e-10
+    # f32 production: re-solve audit-failing columns in f64 (bounded)
+    escalate_f64: bool = True
 
     @property
     def ncol(self) -> int:
@@ -94,35 +143,125 @@ class ALMVSFMProblem:
         return int(self.P.shape[1])
 
 
-def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
-                        P0=None, lateral_connectivity=False,
-                        lateral_conductance=0.0, device_mesh=None,
-                        ugrid=None, dtype=jnp.float64):
-    """Build the batched VSFM problem from CLM column data
-    (MPPVSFMALM_Initialize.F90:588-795 analog).
+def _build_template_mpp(dz0, area0, satfunc_type, density_type,
+                        watsat0, hksat0, bsw0, sucsat0, residual_sat0,
+                        lateral_connectivity, include_seepage_bc):
+    """The 8-step builder sequence of MPPVSFMALM_Initialize.F90 for one
+    template column; per-column heterogeneity rides the dyn contract."""
+    nz = dz0.size
+    mpp = VSFMMPP()
+    mpp.set_name("VSFM-ALM")
+    mpp.set_id(MPPType.VSFM_SNES_CLM)
+    mpp.set_num_meshes(1)
+    zc = np.cumsum(dz0) - 0.5 * dz0          # bottom-first
+    mesh = column_mesh("ALM soil column", zc, dz0, np.full(nz, area0),
+                       ncols=1, itype=int(MeshKind.CLM_SOIL_COL),
+                       orientation=int(MeshKind.AGAINST_GRAVITY))
+    mpp.add_mesh(mesh)
+    ieqn = mpp.add_goveqn(GEType.RE, "Richards Equation ODE")
+    # conditions in the reference's order (Initialize.F90:836-870)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Infiltration_Flux", "kg/s",
+                                Cond.MASS_RATE, region=Region.SOIL_TOP_CELLS)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Evapotranspiration_Flux",
+                                "kg/s", Cond.MASS_RATE,
+                                region=Region.SOIL_CELLS)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Dew_Flux", "kg/s",
+                                Cond.MASS_RATE, region=Region.SOIL_TOP_CELLS)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Drainage_Flux", "kg/s",
+                                Cond.MASS_RATE, region=Region.SOIL_CELLS)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Snow_Disappearance_Flux",
+                                "kg/s", Cond.MASS_RATE,
+                                region=Region.SOIL_TOP_CELLS)
+    mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Sublimation_Flux", "kg/s",
+                                Cond.MASS_RATE, region=Region.SOIL_TOP_CELLS)
+    if lateral_connectivity:
+        mpp.add_condition_in_goveqn(ieqn, Cond.SS, "Lateral_flux", "kg/s",
+                                    Cond.MASS_RATE,
+                                    region=Region.SOIL_CELLS)
+    if include_seepage_bc:
+        mpp.add_condition_in_goveqn(ieqn, Cond.BC, "Seepage_Flux", "kg/s",
+                                    Cond.SEEPAGE_BC,
+                                    region=Region.SOIL_TOP_CELLS)
+    mpp.allocate_auxvars()
+    mpp.setup_problem()
+    shape1 = (1, nz)
+    mpp.set_soils(filter_vsfmc=np.ones(1, np.int64),
+                  watsat=watsat0.reshape(shape1),
+                  hksat=hksat0.reshape(shape1),
+                  bsw=bsw0.reshape(shape1),
+                  sucsat=sucsat0.reshape(shape1),
+                  residual_sat=residual_sat0.reshape(shape1),
+                  satfunc_type=satfunc_type, density_type=density_type)
+    return mpp
 
-    CLM Clapp-Hornberger inputs are converted to van Genuchten form the
-    same way VSFMMPPSetSoilsCLM does (lambda = 1/bsw, alpha =
-    1/(sucsat_mm_of_water -> Pa)).
+
+def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
+                        P0=None, satfunc_type="smooth_brooks_corey_bz3",
+                        density_type=eos.DENSITY_TGDPB01,
+                        lateral_connectivity=False, lateral_conductance=0.0,
+                        device_mesh=None, ugrid=None, dtype=jnp.float64,
+                        include_seepage_bc=False, escalate_f64=True):
+    """Build the batched VSFM problem from CLM column data
+    (MPPVSFMALM_Initialize.F90 + VSFMMPPSetSoilsCLM analog).
+
+    CLM Clapp-Hornberger inputs [ncol, nz] are converted exactly as
+    ``VSFMMPPSetSoilsCLM`` (MultiPhysicsProbVSFM.F90:367-419): perm =
+    hksat_mm/s * 1e-3 * vish2o / (denh2o*g), lambda = 1/bsw, alpha =
+    1/(sucsat*g); the saturation-function family is the global
+    ``vsfm_satfunc_type`` (default 'smooth_brooks_corey_bz3',
+    mpp_varctl.F90:17) with per-column parameters; density defaults to
+    ``DENSITY_TGDPB01`` (Initialize.F90:992).
     """
     watsat = np.asarray(watsat, np.float64)
     ncol, nz = watsat.shape
+    hksat = np.broadcast_to(np.asarray(hksat, np.float64), (ncol, nz))
+    bsw = np.broadcast_to(np.asarray(bsw, np.float64), (ncol, nz))
+    sucsat = np.broadcast_to(np.asarray(sucsat, np.float64), (ncol, nz))
+    residual_sat = np.broadcast_to(np.asarray(residual_sat, np.float64),
+                                   (ncol, nz))
     dz = np.broadcast_to(np.asarray(dz, np.float64), (ncol, nz)).copy()
     area = np.broadcast_to(np.asarray(area, np.float64), (ncol,)).copy()
-    vish2o = 8.904156e-4
-    perm = np.asarray(hksat, np.float64) * 1e-3 * vish2o / (
-        DENH2O * GRAVITY_CONSTANT)  # mm/s -> m^2 (VSFMMPPSetSoilsCLM)
-    lam = 1.0 / np.asarray(bsw, np.float64)
-    alpha = 1.0 / (np.asarray(sucsat, np.float64) * GRAVITY_CONSTANT)
-    f = lambda v: jnp.asarray(np.broadcast_to(v, (ncol, nz)), dtype)
-    params = vb.ColumnParams(
-        vg_alpha=f(alpha), vg_m=f(lam), sat_res=f(residual_sat),
-        perm=f(perm), por=f(watsat), dz=f(dz),
-        area=f(area[:, None]))
+
+    mpp = _build_template_mpp(dz[0], area[0], satfunc_type, density_type,
+                              watsat[0], hksat[0], bsw[0], sucsat[0],
+                              residual_sat[0], lateral_connectivity,
+                              include_seepage_bc)
+    comp = compile_vsfm(mpp, linear_solver="direct")
+
+    # --- per-column dynamic parameters (the dyn contract) ---
+    # conversion constants match VSFMMPPSetSoilsCLM exactly: CLM's grav
+    # (mpp_varcon grav = 9.80616), not the library GRAVITY_CONSTANT
+    lam = 1.0 / bsw
+    alpha = 1.0 / (sucsat * GRAV_CLM)
+    perm = hksat * 1e-3 * VISH2O / (DENH2O * GRAV_CLM)
+    sat = sf.satparams_dyn_clm(satfunc_type, residual_sat, alpha, lam)
+    f = lambda v: jnp.asarray(v, dtype)
+    dyn_g = {"sat": {k: f(v) for k, v in sat.items()},
+             "por_base": f(watsat),
+             "perm": f(np.repeat(perm[..., None], 3, axis=-1)),
+             "frac_liq": jnp.ones((ncol, nz), dtype),
+             "vol": f(area[:, None] * dz),
+             # internal connection geometry (nz-1 vertical faces/column)
+             "in_dist_up": f(0.5 * dz[:, :-1]),
+             "in_dist_dn": f(0.5 * dz[:, 1:]),
+             "in_area": f(np.broadcast_to(area[:, None], (ncol, nz - 1)))}
+    if include_seepage_bc:
+        dyn_g["bc_dist_up"] = f(np.zeros((ncol, 1)))
+        dyn_g["bc_dist_dn"] = f(0.5 * dz[:, -1:])
+        dyn_g["bc_area"] = f(area[:, None])
+    dyn = (dyn_g,)
+
+    # SS staging offsets by condition name
+    ss_slices = {}
+    off = 0
+    for cond in mpp.soe.goveqns[0].source_sinks:
+        ss_slices[cond.name] = (off, cond.num_connections)
+        off += cond.num_connections
+
     if P0 is None:
         P0 = np.full((ncol, nz), 3.5355e3)
-    # interface depths below the surface, ordered top (0) -> bottom (nz);
-    # model levels are ordered bottom (0) -> top (nz-1), hence the reverse
+    # interface depths below the surface, top-first (zi[:,0]=0 at surface);
+    # model levels are bottom-first, hence the reverse
     zi = np.zeros((ncol, nz + 1))
     zi[:, 1:] = np.cumsum(dz[:, ::-1], axis=1)
     ugdm = None
@@ -136,19 +275,30 @@ def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
                 f"staged column count {ncol}; stage CLM arrays through "
                 "ugdm.natural_to_sharded")
     return ALMVSFMProblem(
-        params=params, P=jnp.asarray(P0, dtype),
-        frac_liq=jnp.ones((ncol, nz), dtype), area=area, dz=dz, zi=zi,
+        mpp=mpp, comp=comp, dyn=dyn, P=jnp.asarray(P0, dtype),
+        area=area, dz=dz, zi=zi, ss_slices=ss_slices,
+        include_seepage_bc=include_seepage_bc,
         lateral_connectivity=lateral_connectivity,
         lateral_conductance=lateral_conductance, device_mesh=device_mesh,
         ugrid=ugrid, ugdm=ugdm,
-        mesh_axis="col" if device_mesh is not None else None)
+        mesh_axis="col" if device_mesh is not None else None,
+        escalate_f64=escalate_f64)
 
 
-def _cell_mass_kg(P, params):
-    """Per-cell liquid water mass [kg] (VAR_MASS analog)."""
-    sat, _, _, _ = vb.vg_sat_kr(P, params)
-    vol = params.area * params.dz
-    return sat * params.por * vol * DENH2O
+# ---- physical getters (VAR_MASS / VAR_LIQ_SAT analogs) ---------------------
+
+def cell_mass_kg(prob: ALMVSFMProblem, P, dyn=None):
+    """Per-cell liquid water mass [kg] (VAR_MASS, full-physics por*den*
+    sat*vol with the column's own parameters)."""
+    g = prob.comp.goveqns[0]
+    dyn = prob.dyn if dyn is None else dyn
+    return jax.vmap(lambda x, dy: g.accum(x, dyn=dy))(P, dyn[0]) * FMWH2O
+
+
+def _cell_kr(prob: ALMVSFMProblem, P, dyn=None):
+    g = prob.comp.goveqns[0]
+    dyn = prob.dyn if dyn is None else dyn
+    return jax.vmap(lambda x, dy: g._cell_aux(x, dy)[2])(P, dyn[0])
 
 
 def _lateral_source(prob: ALMVSFMProblem, P):
@@ -159,12 +309,12 @@ def _lateral_source(prob: ALMVSFMProblem, P):
     the next implicit vertical solve.
     """
     from mpp_tpu.parallel.sharding import lateral_flux_op_split
+    dtype = P.dtype
     if prob.ugdm is not None:
         # general-graph per-level lateral Darcy flux over the UGDM
-        _, _, kr, _ = vb.vg_sat_kr(P, prob.params)
-        perm = jnp.broadcast_to(jnp.asarray(prob.params.perm, P.dtype),
-                                P.shape)
-        dz = jnp.broadcast_to(jnp.asarray(prob.params.dz, P.dtype), P.shape)
+        kr = _cell_kr(prob, P)
+        perm = prob.dyn[0]["perm"][..., 0]       # x-directional
+        dz = jnp.asarray(prob.dz, dtype)
         dm = prob.ugdm
         if prob.device_mesh is not None:
             from jax import shard_map
@@ -186,8 +336,8 @@ def _lateral_source(prob: ALMVSFMProblem, P):
         src_nat = lateral_darcy_source_global(prob.ugrid, P_nat, kr_nat,
                                               perm_nat, dz_nat)
         return jnp.asarray(dm.natural_to_sharded(np.asarray(src_nat)),
-                           P.dtype)
-    g = jnp.asarray(prob.lateral_conductance, P.dtype)
+                           dtype)
+    g = jnp.asarray(prob.lateral_conductance, dtype)
     if prob.device_mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as PS
@@ -202,65 +352,145 @@ def _lateral_source(prob: ALMVSFMProblem, P):
     return -g * ((P - left) + (P - right))
 
 
+def _stage_drainage(qflx_drain, zwt, zi, dz, h2osoi_liq, dtime, conv):
+    """Per-layer drainage sinks [kg/s, bottom-first] with the water-table
+    split and watmin limiter (MPPVSFMALM_Driver.F90:330-370)."""
+    ncol, nz = dz.shape
+    qflx_drain = np.asarray(qflx_drain, np.float64)
+    out = np.zeros((ncol, nz))
+    pos = qflx_drain > 0.0
+    if not pos.any():
+        return out, np.zeros(ncol)
+    # jwt: CLM layer above the water table (1-based top-first), >= 1
+    # zi is top-first cumulative depth
+    below = zwt[:, None] <= zi[:, 1:]            # [ncol, nz] layer j+1
+    jwt = np.where(below.any(axis=1), below.argmax(axis=1), nz)  # 0-based
+    jwt = np.maximum(jwt, 1)
+    dz_top = dz[:, ::-1]                          # top-first
+    liq_top = h2osoi_liq[:, ::-1]
+    mask = np.arange(nz)[None, :] >= jwt[:, None]  # layers jwt..nz-1
+    dzsum = np.where(mask, dz_top, 0.0).sum(axis=1)
+    dzsum = np.where(dzsum > 0.0, dzsum, 1.0)
+    ql = qflx_drain[:, None] * dz_top / dzsum[:, None]
+    ql = np.minimum(ql, np.maximum(liq_top - WATMIN, 0.0) / dtime)
+    ql = np.where(mask & pos[:, None], ql, 0.0)
+    out = -(ql[:, ::-1]) * conv[:, None]          # back to bottom-first
+    return out, ql.sum(axis=1)                    # (kg/s sinks, mm/s total)
+
+
 def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
                    qflx_infl=None, qflx_tran_veg=None, rootr=None,
-                   bc_top=None, bc_bot=None, frac_ice=None):
+                   qflx_dew=None, qflx_sub_snow=None, qflx_drain=None,
+                   mflx_snowlyr=None, t_soil=None, frac_ice=None):
     """One host-model timestep (MPPVSFMALM_Solve analog).
 
-    Fluxes in CLM units: ``qflx_infl`` [mm/s, ncol] infiltration,
-    ``qflx_tran_veg`` [mm/s, ncol] transpiration with per-layer root
-    fractions ``rootr`` [ncol, nz].  Returns a dict of CLM-facing outputs:
-    h2osoi_liq/ice [kg/m^2], smp_l [mm], zwt [m], qflx_lateral [mm/s],
-    soilp [Pa], plus solver diagnostics (attempts, diverged_count,
-    mass_bal_err_count, abs_mass_error_col).
+    Fluxes in CLM units (all optional): ``qflx_infl`` [mm/s, ncol]
+    infiltration, ``qflx_tran_veg`` [mm/s, ncol] transpiration with
+    per-layer root fractions ``rootr`` [ncol, nz, bottom-first],
+    ``qflx_dew`` [mm/s] dew onto the surface, ``qflx_sub_snow`` [mm/s]
+    sublimation loss, ``qflx_drain`` [mm/s] drainage split below the
+    water table, ``mflx_snowlyr`` [kg/s] snow-layer-disappearance mass,
+    ``t_soil`` [K, ncol, nz] soil temperature, ``frac_ice`` [ncol, nz]
+    ice fraction (stages frac_liq = 1 - frac_ice).
+
+    Returns a dict of CLM-facing outputs: h2osoi_liq/ice [kg/m^2],
+    smp_l [mm], zwt [m], qflx_lateral/qflx_seepage [mm/s], soilp [Pa],
+    plus solver diagnostics (attempts, diverged_count,
+    mass_bal_err_count, abs_mass_error_col, escalated_cols).
     """
     ncol, nz = prob.ncol, prob.nz
     dtype = prob.P.dtype
-    area = jnp.asarray(prob.area, dtype)
+    comp = prob.comp
+    area = np.asarray(prob.area, np.float64)
 
-    # [mm/s] -> [kg/s]: area * denh2o * 1e-3 (Driver:298); kg/s -> kmol/s
-    flux_conv_kg = area * DENH2O * 1e-3
-    ss = jnp.zeros((ncol, nz), dtype)
-    total_flux_col = jnp.zeros((ncol,), dtype)   # [kg/s]
+    # [mm/s] -> [kg/s]: area * denh2o * 1e-3 (Driver:298)
+    conv = area * DENH2O * 1e-3
+
+    # ---- dynamic auxvar state for this step (Driver:399-465) ----
+    dyn_g = dict(prob.dyn[0])
+    if t_soil is not None:
+        dyn_g["temperature"] = jnp.asarray(t_soil, dtype)
+    if frac_ice is not None:
+        dyn_g["frac_liq"] = 1.0 - jnp.asarray(frac_ice, dtype)
+    else:
+        frac_ice = jnp.zeros((ncol, nz), dtype)
+    dyn = (dyn_g,)
+
+    h2osoi_liq_prev = np.asarray(cell_mass_kg(prob, prob.P, dyn)) \
+        / area[:, None]
+    smp_prev_mm = np.asarray(
+        (prob.P - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT)) * 1000.0
+    zwt_prev = _water_table_depth(smp_prev_mm, prob.zi)
+
+    # ---- stage SS conditions [kg/s] (Driver:290-430) ----
+    nss = sum(m for _, m in prob.ss_slices.values())
+    ss = np.zeros((ncol, nss))
+
+    def put(name, vals_cols):
+        off, m = prob.ss_slices[name]
+        ss[:, off:off + m] = vals_cols
+
+    total_flux_col = np.zeros(ncol)               # [kg/s]
     if qflx_tran_veg is not None:
-        et = (-jnp.asarray(qflx_tran_veg, dtype) * flux_conv_kg)[:, None] \
-            * jnp.asarray(rootr, dtype)          # [kg/s] per layer, sink<0
-        ss = ss + et / FMWH2O
-        total_flux_col = total_flux_col + et.sum(axis=1)
+        et = (-np.asarray(qflx_tran_veg, np.float64) * conv)[:, None] \
+            * np.asarray(rootr, np.float64)       # [kg/s] per layer, sink<0
+        put("Evapotranspiration_Flux", et)
+        total_flux_col += et.sum(axis=1)
     if qflx_infl is not None:
-        infl = jnp.asarray(qflx_infl, dtype) * flux_conv_kg  # [kg/s]
-        ss = ss.at[:, -1].add(infl / FMWH2O)     # top cell = last level
-        total_flux_col = total_flux_col + infl
+        infl = np.asarray(qflx_infl, np.float64) * conv
+        put("Infiltration_Flux", infl[:, None])
+        total_flux_col += infl
+    if qflx_dew is not None:
+        dew = np.asarray(qflx_dew, np.float64) * conv
+        put("Dew_Flux", dew[:, None])
+        total_flux_col += dew
+    if qflx_sub_snow is not None:
+        sub = -np.asarray(qflx_sub_snow, np.float64) * conv
+        put("Sublimation_Flux", sub[:, None])
+        total_flux_col += sub
+    if mflx_snowlyr is not None:
+        snow = np.asarray(mflx_snowlyr, np.float64)
+        put("Snow_Disappearance_Flux", snow[:, None])
+        total_flux_col += snow
+    if qflx_drain is not None:
+        drain, qflx_drain_tot = _stage_drainage(
+            qflx_drain, zwt_prev, prob.zi, prob.dz, h2osoi_liq_prev,
+            dtime, conv)
+        put("Drainage_Flux", drain)
+        total_flux_col += drain.sum(axis=1)
+    else:
+        qflx_drain_tot = np.zeros(ncol)
 
-    qflx_lateral = jnp.zeros((ncol,), dtype)
+    qflx_lateral = np.zeros(ncol)
     if prob.lateral_connectivity:
-        mflx_lat = _lateral_source(prob, prob.P)         # [kmol/s] per cell
-        ss = ss + mflx_lat
-        lat_kg = mflx_lat.sum(axis=1) * FMWH2O
-        total_flux_col = total_flux_col + lat_kg
+        mflx_lat = np.asarray(_lateral_source(prob, prob.P))  # [kmol/s]
+        lat_kg = mflx_lat * FMWH2O
+        put("Lateral_flux", lat_kg)
+        total_flux_col += lat_kg.sum(axis=1)
         # qflx_lateral = -sum(mflx)/conv (Driver:522-523), mm/s
-        qflx_lateral = -lat_kg / flux_conv_kg
+        qflx_lateral = -lat_kg.sum(axis=1) / conv
 
-    if bc_top is None:
-        bc_top = prob.P[:, -1]
-    if bc_bot is None:
-        bc_bot = prob.P[:, 0]
-    # Dirichlet BCs contribute boundary fluxes the audit must include;
-    # default above makes them no-flow-like for the balance bookkeeping.
+    ss = jnp.asarray(ss, dtype)
+    # seepage BC pressure = PRESSURE_REF (Driver:538-545)
+    if prob.include_seepage_bc:
+        bc = jnp.full((ncol, 1), 101325.0, dtype)
+    else:
+        bc = jnp.zeros((ncol, 0), dtype)
 
-    mass_beg_col = _cell_mass_kg(prob.P, prob.params).sum(axis=1)
+    mass_beg_col = np.asarray(comp.column_storage(prob.P, dyn)) * FMWH2O
 
     P_prev = prob.P
-
-    rtol, stol = prob.rtol, prob.stol
+    sp = comp.snes if dtype == jnp.float64 else comp.snes_f32
+    rtol, stol = sp.rtol, sp.stol
     attempts = diverged_count = mass_bal_err_count = 0
+    escalated_cols = 0
     abs_mass_error = np.inf
+    err = None
     P = P_prev
     while True:
         attempts += 1
-        P, iters, done, reason = vb.step_dt_snes(
-            P_prev, dtime, bc_top, bc_bot, prob.params,
-            rtol=rtol, atol=prob.atol, stol=stol, ss=ss, max_it=50)
+        P, iters, done, reason = comp.step_batched(
+            P_prev, (bc,), (ss,), dtime, dyn=dyn, rtol=rtol, stol=stol)
         converged = bool(jnp.all(done))
         if not converged:
             # Driver:650-667: alternate stol, after 2nd divergence reset
@@ -268,25 +498,33 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
             stol = STOL_ALTERNATE
             diverged_count += 1
             if diverged_count > 1:
-                prob.frac_liq = jnp.ones_like(prob.frac_liq)
+                dyn_g["frac_liq"] = jnp.ones((ncol, nz), dtype)
+                dyn = (dyn_g,)
         else:
-            mass_end_col = _cell_mass_kg(P, prob.params).sum(axis=1)
-            # boundary Dirichlet fluxes at the converged state enter the
-            # audit (the reference's VSFM residual is exactly balanced, so
-            # its flux bookkeeping includes BC fluxes staged by CLM; here
-            # we recompute them from the converged solution)
-            bflux = _bc_flux_kg(P, bc_top, bc_bot, prob.params)
-            err = jnp.abs(mass_beg_col - mass_end_col
-                          + (total_flux_col + bflux) * dtime)
+            err = _audit_err(prob, P, bc, dyn, mass_beg_col,
+                             total_flux_col, dtime)
             abs_mass_error = float(err.max())
             if abs_mass_error >= MAX_ABS_MASS_ERROR_COL:
                 mass_bal_err_count += 1
-                # Driver:886-905: tighten the criterion that fired
-                r = np.asarray(reason)
-                if (r == vb.REASON_FNORM_RELATIVE).any():
-                    rtol = rtol / 10.0
-                if (r == vb.REASON_SNORM_RELATIVE).any():
-                    stol = stol / 10.0
+                # f32: tightening below the f32 evaluation floor cannot
+                # help — escalate the failing columns to f64 instead
+                # (bounded, per-column; beyond-reference hardening)
+                if (dtype != jnp.float64 and prob.escalate_f64
+                        and mass_bal_err_count >= 2):
+                    P, err, nesc = _escalate_f64(
+                        prob, P_prev, P, bc, ss, dyn, err, dtime,
+                        total_flux_col)
+                    escalated_cols = nesc
+                    abs_mass_error = float(err.max())
+                    if abs_mass_error < MAX_ABS_MASS_ERROR_COL:
+                        break
+                else:
+                    # Driver:886-905: tighten the criterion that fired
+                    r = np.asarray(reason)
+                    if (r == CONVERGED_FNORM_RELATIVE).any():
+                        rtol = rtol / 10.0
+                    if (r == CONVERGED_SNORM_RELATIVE).any():
+                        stol = stol / 10.0
             else:
                 break
         if attempts >= MAX_ITER_COUNT:
@@ -298,9 +536,7 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     prob.P = P
 
     # ---- unpack to CLM arrays (Driver:700-900) ----
-    mass_cell = _cell_mass_kg(P, prob.params)            # [kg]
-    if frac_ice is None:
-        frac_ice = jnp.zeros((ncol, nz), dtype)
+    mass_cell = cell_mass_kg(prob, P, dyn)                # [kg]
     h2osoi_liq = (1.0 - frac_ice) * mass_cell / area[:, None]   # [kg/m^2]
     h2osoi_ice = frac_ice * mass_cell / area[:, None]
     # matrix potential [m] -> smp_l [mm] (Driver:851)
@@ -309,67 +545,102 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
 
     zwt = _water_table_depth(np.asarray(smp_l), prob.zi)
 
+    qflx_seepage = np.zeros(ncol)
+    if prob.include_seepage_bc:
+        # seepage mass exchange at the converged state (Driver:717-738);
+        # positive column_bc_flux = outflow in the residual convention
+        bflux_kg = np.asarray(comp.column_bc_flux(P, (bc,), dyn)) * FMWH2O
+        qflx_seepage = bflux_kg / conv
+
     return {
         "h2osoi_liq": h2osoi_liq, "h2osoi_ice": h2osoi_ice,
         "smp_l": smp_l, "soilp": P, "zwt": zwt,
-        "qflx_lateral": qflx_lateral, "qcharge": jnp.zeros((ncol,), dtype),
+        "qflx_lateral": qflx_lateral, "qflx_seepage": qflx_seepage,
+        "qflx_drain_tot": qflx_drain_tot,
+        "qcharge": jnp.zeros((ncol,), dtype),
         "attempts": attempts, "diverged_count": diverged_count,
         "mass_bal_err_count": mass_bal_err_count,
         "abs_mass_error_col": abs_mass_error,
+        "escalated_cols": escalated_cols,
         "newton_iters": int(iters),
     }
 
 
-def _bc_flux_kg(P, bc_top, bc_bot, p: vb.ColumnParams):
-    """Net Dirichlet boundary mass flux into each column [kg/s] at state P,
-    matching the residual's BC flux terms (models/vsfm_batched.bc_flux)."""
-    p = vb.ColumnParams(*(jnp.broadcast_to(jnp.asarray(v, P.dtype), P.shape)
-                          for v in p))
-    _, _, kr, dkr = vb.vg_sat_kr(P, p)
+def _audit_err(prob, P, bc, dyn, mass_beg_col, total_flux_col, dtime):
+    """Per-column |mass_beg - mass_end + total_flux*dt| [kg]
+    (MPPVSFMALM_Driver.F90:861-863); BC (seepage) fluxes at the converged
+    state enter with the residual's sign (outflow positive)."""
+    comp = prob.comp
+    mass_end_col = np.asarray(comp.column_storage(P, dyn)) * FMWH2O
+    bflux_kg = np.asarray(comp.column_bc_flux(P, (bc,), dyn)) * FMWH2O
+    return np.abs(mass_beg_col - mass_end_col
+                  + (total_flux_col - bflux_kg) * dtime)
 
-    def one(P_bc, P_cell, kr_cell, unit_z, lev):
-        pl = vb.ColumnParams(*(v[..., lev] for v in p))
-        _, _, kr_b, _ = vb.vg_sat_kr(P_bc, pl)
-        dist_gravity = (pl.dz / 2.0) * unit_z * (-GRAVITY_CONSTANT)
-        dphi = P_bc - P_cell + vb._DEN * FMWH2O * dist_gravity
-        Dq = pl.perm / (pl.dz / 2.0)
-        ukvr = jnp.where(dphi >= 0.0, kr_b, kr_cell) / vb._VIS
-        return -Dq * ukvr * dphi * pl.area * vb._DEN
 
-    fb = one(bc_bot, P[:, 0], kr[:, 0], +1.0, 0)
-    ft = one(bc_top, P[:, -1], kr[:, -1], -1.0, -1)
-    # residual adds +flux at the boundary cells, so net mass INFLOW per
-    # column is -(fb+ft); summing the converged residual over levels gives
-    # (mass_end-mass_beg)/dt = ss_sum - (fb+ft) in kmol/s.
-    return -(fb + ft) * FMWH2O
+def _escalate_f64(prob, P_prev, P, bc, ss, dyn, err, dtime,
+                  total_flux_col):
+    """Gather audit-failing columns, re-solve them from the pre-step
+    state in f64 on the same compiled stepper, scatter back.
+
+    The gather is padded to the next power of two so the escalated solve
+    compiles once per padded size, not per failure pattern."""
+    comp = prob.comp
+    fail = np.nonzero(err >= MAX_ABS_MASS_ERROR_COL)[0]
+    if fail.size == 0:
+        return P, err, 0
+    cap = 1 << int(np.ceil(np.log2(fail.size)))
+    idx = np.pad(fail, (0, cap - fail.size), mode="edge")
+    with jax.enable_x64():
+        gather = lambda a: jnp.asarray(np.asarray(a)[idx], jnp.float64)
+        dyn64 = (jax.tree_util.tree_map(gather, dyn[0]),)
+        # tight f64 tolerances: the escalated columns must land well under
+        # the audit threshold (f64 at rtol 1e-10 closes the balance to
+        # ~1e-12 kg; the default 1e-8 leaves ~1e-8 kg of Newton truncation)
+        X64, _, ok64, _ = comp.step_batched(
+            gather(P_prev), (gather(bc),), (gather(ss),), dtime,
+            dyn=dyn64, rtol=1e-10, stol=1e-12)
+        mass_beg64 = np.asarray(
+            comp.column_storage(gather(P_prev), dyn64)) * FMWH2O
+        err64 = _audit_err(prob, X64, gather(bc), dyn64, mass_beg64,
+                           np.asarray(total_flux_col)[idx], dtime)
+        X64 = np.asarray(X64)
+    ok64 = np.asarray(ok64)
+    P_new = np.asarray(P).copy()
+    err_new = err.copy()
+    for k, c in enumerate(fail):
+        if ok64[k]:
+            P_new[c] = X64[k]
+            err_new[c] = err64[k]
+    return jnp.asarray(P_new, P.dtype), err_new, int(fail.size)
 
 
 def _water_table_depth(smp_l, zi):
-    """zwt from the first unsaturated layer (Driver:853-873).
+    """zwt from the first unsaturated layer (Driver:853-873), vectorized.
 
     Levels are ordered bottom (index 0) to top (index nz-1); CLM's j=1 is
-    the surface, so scan from the top of the column downward.
+    the surface, so scan from the top of the column downward.  ``zi`` is
+    the top-first interface-depth array [ncol, nz+1].
     """
+    smp_l = np.asarray(smp_l)
     ncol, nz = smp_l.shape
-    zwt = np.zeros(ncol)
-    for c in range(ncol):
-        depth_col = zi[c, -1]
-        jwt = -1
-        for j in range(nz):
-            clm_j = nz - 1 - j        # top first
-            if smp_l[c, clm_j] < 0.0:
-                jwt = j
-                break
-        if jwt in (-1, nz - 1):
-            zwt[c] = depth_col
-        else:
-            # midpoints of interfaces around the first unsaturated layer
-            z_dn = 0.5 * (zi[c, jwt] + zi[c, jwt + 1])
-            z_up = 0.5 * (zi[c, jwt + 1] + zi[c, jwt + 2])
-            s0 = smp_l[c, nz - 1 - jwt]
-            s1 = smp_l[c, nz - 1 - (jwt + 1)]
-            denom = s0 - s1
-            zwt[c] = depth_col if denom == 0.0 else (
-                (0.0 - s0) / denom * (z_dn - z_up) + z_dn)
-            zwt[c] = min(max(zwt[c], 0.0), depth_col)
+    depth_col = zi[:, -1]
+    top_first = smp_l[:, ::-1]                   # j = 0 at the surface
+    unsat = top_first < 0.0
+    has = unsat.any(axis=1)
+    jwt = np.where(has, unsat.argmax(axis=1), -1)
+    zwt = depth_col.copy()
+    sel = has & (jwt != nz - 1)
+    if sel.any():
+        r = np.nonzero(sel)[0]
+        j = jwt[r]
+        # midpoints of interfaces around the first unsaturated layer
+        z_dn = 0.5 * (zi[r, j] + zi[r, j + 1])
+        z_up = 0.5 * (zi[r, j + 1] + zi[r, j + 2])
+        s0 = top_first[r, j]
+        s1 = top_first[r, j + 1]
+        denom = s0 - s1
+        zw = np.where(denom == 0.0, depth_col[r],
+                      (0.0 - s0) / np.where(denom == 0.0, 1.0, denom)
+                      * (z_dn - z_up) + z_dn)
+        zwt[r] = np.clip(zw, 0.0, depth_col[r])
     return zwt

@@ -1,16 +1,18 @@
-"""Batched-column VSFM: the TPU production path.
+"""Reduced-physics batched VSFM column solver — TEST FIXTURE.
 
-The reference scales by giving each MPI rank a set of independent soil
-columns solved serially (``mpp/MultiPhysicsProbBaseType.F90:1132`` —
-PETSC_COMM_SELF per rank; SURVEY §2.8).  The TPU-native equivalent
-batches columns as an array axis: state is [ncol, nz], the per-column
-tridiagonal Newton systems are solved by a batched Thomas sweep (the
-exact LU — the reference's ILU(0) is exactly this for tridiagonal
-operators), and Newton iterates with per-column convergence masks so one
-stiff column doesn't serialize the batch.
+DEMOTED (round 4): the production path is ``driver/alm.py`` on the
+compiled full-physics stepper (``batched/vsfm_compiled.py``) — TGDPB01
+density with dden/dP, every CLM saturation function, seepage, per-column
+heterogeneous soils via the dyn contract.  This module keeps the
+original constant-density van-Genuchten-only column Newton as a small,
+self-contained fixture for solver-mechanics tests (test_batched_vsfm,
+test_f32_accuracy, test_nan_debug) and as the analytic cross-check for
+the UGDM lateral-flux tests; nothing in ``mpp_tpu/driver`` or
+``mpp_tpu/batched`` imports it.
 
-Columns shard over the device mesh (`parallel/`); everything here is pure
-jnp and jit/shard_map compatible, f32-first for TPU.
+Structure: state [ncol, nz], batched Thomas inner solves, Newton with
+per-column convergence masks (the same batching model the production
+stepper uses, SURVEY §2.8).
 """
 from __future__ import annotations
 

@@ -195,6 +195,57 @@ def _find_gu_sbc_zero_coeff(lam: float, AA: int, gs: float) -> float:
     return gu
 
 
+CLM_SATFUNC_TYPES = ("brooks_corey", "smooth_brooks_corey_bz2",
+                     "smooth_brooks_corey_bz3", "van_genuchten")
+
+
+def satparams_dyn_clm(satfunc_type: str, sat_res, alpha, lam):
+    """Vectorized VSFMMPPSetSoilsCLM satfunc staging
+    (MultiPhysicsProbVSFM.F90:392-419): CLM Clapp-Hornberger-derived
+    (sat_res, alpha, lambda) arrays -> dict of SatParams real-field
+    override numpy arrays for the compiled path's dynamic-parameter
+    contract (RichardsGE dyn["sat"]).
+
+    For the smoothed-Brooks-Corey variants ps = -0.9/alpha
+    (ibid:397-408), so the bracketed-Newton pu multiplier
+    (_find_gu_sbc_zero_coeff) depends only on lambda — solved once per
+    unique lambda, then the b2/b3 smoothing coefficients evaluate in
+    closed form (SaturationFunction.F90:260-372)."""
+    sat_res = np.asarray(sat_res, np.float64)
+    alpha = np.asarray(alpha, np.float64)
+    lam = np.asarray(lam, np.float64)
+    if satfunc_type == "van_genuchten":
+        return {"sat_res": sat_res, "alpha": alpha, "vg_m": lam,
+                "vg_n": 1.0 / (1.0 - lam)}
+    if satfunc_type == "brooks_corey":
+        return {"sat_res": sat_res, "alpha": alpha, "bc_lambda": lam}
+    if satfunc_type in ("smooth_brooks_corey_bz2",
+                        "smooth_brooks_corey_bz3"):
+        AA = 3 if satfunc_type.endswith("bz2") else 2
+        gs = 0.9          # = -alpha * ps with ps = -0.9/alpha
+        gu = np.empty_like(lam)
+        for lv in np.unique(lam):
+            gu[lam == lv] = _find_gu_sbc_zero_coeff(float(lv), AA, gs)
+        ps = -0.9 / alpha
+        pu = gu / (-alpha)
+        bc_at_pu = gu ** (-lam)
+        lam_dpu = lam * (1.0 - ps / pu)
+        inv_dpu = 1.0 / (pu - ps)
+        if AA == 3:       # bz2: b2 = 0 by construction
+            b2 = np.zeros_like(lam)
+            b3 = (2.0 - bc_at_pu * (2.0 + lam_dpu)) * inv_dpu ** 3
+            if (b3 <= 0.0).any():
+                raise ValueError("satparams_dyn_clm: SBC bz2 b3 <= 0")
+        else:             # bz3: b3 = 0 by construction
+            b2 = -(3.0 - bc_at_pu * (3.0 + lam_dpu)) * inv_dpu * inv_dpu
+            b3 = np.zeros_like(lam)
+            if (b2 >= 0.0).any():
+                raise ValueError("satparams_dyn_clm: SBC bz3 b2 >= 0")
+        return {"sat_res": sat_res, "alpha": alpha, "bc_lambda": lam,
+                "sbc_ps": ps, "sbc_pu": pu, "sbc_b2": b2, "sbc_b3": b3}
+    raise ValueError(f"Unknown vsfm_satfunc_type {satfunc_type}")
+
+
 # --- per-model pc -> sat (value + d/dP) -------------------------------------
 
 def _safe(pred, val):
