@@ -258,16 +258,26 @@ class ThermalSoilGE:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return np.concatenate(rows), np.concatenate(cols)
 
-    def aux(self, T):
+    # ``dyn`` (optional dict) promotes per-step dynamic state from staged
+    # attributes to explicit inputs — the compiled/batched KSP path
+    # (batched/ksp_compiled.py) passes them so the whole assembly is a
+    # pure function of its arguments.  Recognized keys: "liq", "ice",
+    # "snow_water", "num_snow_layer", "tuning", "frac" (snow/ssw),
+    # "bc_frac", "bc_dhsdT".
+    def aux(self, T, dyn=None):
         """Internal-cell aux update (UpdateAuxVarsIntrn)."""
+        d = dyn or {}
         return thermal_soil_aux(
-            T, self.liq_areal_den, self.ice_areal_den, self.snow_water,
-            self.num_snow_layer, self.tuning_factor,
+            T, d.get("liq", self.liq_areal_den),
+            d.get("ice", self.ice_areal_den),
+            d.get("snow_water", self.snow_water),
+            d.get("num_snow_layer", self.num_snow_layer),
+            d.get("tuning", self.tuning_factor),
             self.lun_type, self.is_shallow, jnp.asarray(self.por),
             jnp.asarray(self.tkmg), jnp.asarray(self.tkdry),
             jnp.asarray(self.csol), jnp.asarray(self.mesh.dz))
 
-    def bc_aux(self, T):
+    def bc_aux(self, T, bc_value=None, exch_T=None, exch_k=None, dyn=None):
         """BC auxvar update (UpdateAuxVarsBC): Dirichlet BCs take the
         condition value as temperature, flux BCs mirror the internal cell,
         cross-GE Dirichlet conns take the exchanged temperature AND
@@ -277,16 +287,22 @@ class ThermalSoilGE:
         if bc_ids.size == 0:
             z = jnp.zeros(0)
             return z, z
+        if bc_value is None:
+            bc_value = self.bc_value
+        if exch_T is None:
+            exch_T = self.bc_exch_T
+        if exch_k is None:
+            exch_k = self.bc_exch_k
         is_dirichlet = np.isin(code, (int(Cond.DIRICHLET),))
         is_otr = code == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
-        T_bc = jnp.where(jnp.asarray(is_dirichlet), self.bc_value,
+        T_bc = jnp.where(jnp.asarray(is_dirichlet), bc_value,
                          T[jnp.asarray(bc_ids)])
-        T_bc = jnp.where(jnp.asarray(is_otr), self.bc_exch_T, T_bc)
-        k_bc = self._bc_own_conductivity(T_bc, bc_ids)
-        k_bc = jnp.where(jnp.asarray(is_otr), self.bc_exch_k, k_bc)
+        T_bc = jnp.where(jnp.asarray(is_otr), exch_T, T_bc)
+        k_bc = self._bc_own_conductivity(T_bc, bc_ids, dyn)
+        k_bc = jnp.where(jnp.asarray(is_otr), exch_k, k_bc)
         return T_bc, k_bc
 
-    def _bc_own_conductivity(self, T_bc, bc_ids):
+    def _bc_own_conductivity(self, T_bc, bc_ids, dyn=None):
         dz_bc = jnp.asarray(self.mesh.dz)[jnp.asarray(bc_ids)]
         k_bc, _cap = thermal_soil_aux(
             T_bc,
@@ -297,7 +313,8 @@ class ThermalSoilGE:
             jnp.asarray(self.bc_csol), dz_bc)
         return k_bc
 
-    def contributions(self, T, dt, cnfac, ss_values):
+    def contributions(self, T, dt, cnfac, ss_values, bc_value=None,
+                      exch_T=None, exch_k=None, dyn=None):
         """A-values (ordered per coo_coords) and rhs b.
 
         Implements Accum + Divergence (rhs) and OperatorsDiag (matrix) for
@@ -305,13 +322,14 @@ class ThermalSoilGE:
         areas (the reference's stale-``area``/``factor`` variables in its
         BC branches are benign in its test suites — all areas equal).
         """
+        d = dyn or {}
         n = self.mesh.ncells_local
         vol = jnp.asarray(self.mesh.vol)
         active = jnp.asarray(self.mesh.is_active)
-        k_cell, cap = self.aux(T)
+        k_cell, cap = self.aux(T, dyn)
 
         # accumulation diag + rhs (Accum, OperatorsDiag diagonal)
-        accum = cap * vol / (dt * self.tuning_factor)
+        accum = cap * vol / (dt * d.get("tuning", self.tuning_factor))
         diag_vals = jnp.where(active, accum, 1.0)
         b = jnp.where(active, accum * T, 0.0)
 
@@ -333,7 +351,11 @@ class ThermalSoilGE:
         bc_ids, bdup, bddn, barea, bcode = self._bc_concat()
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
-            T_bc, k_bc = self.bc_aux(T)
+            if bc_value is None:
+                bc_value = self.bc_value
+            bc_frac = d.get("bc_frac", self.bc_frac)
+            bc_dhsdT = d.get("bc_dhsdT", self.bc_dhsdT)
+            T_bc, k_bc = self.bc_aux(T, bc_value, exch_T, exch_k, dyn)
             bc_active = jnp.asarray(self.bc_is_active) & active[bids]
             kavg_b = _harmonic(k_bc, k_cell[bids], jnp.asarray(bdup),
                                jnp.asarray(bddn))
@@ -344,8 +366,8 @@ class ThermalSoilGE:
             is_dir_otr = jnp.asarray(bcode == int(Cond.DIRICHLET_FRM_OTR_GOVEQ))
             is_hflux = jnp.asarray(bcode == int(Cond.HEAT_FLUX))
             # matrix diagonal (OperatorsDiag:1161-1218)
-            dir_diag = self.bc_frac * (1.0 - cnfac) * kavg_b / dist_b * area_b
-            hflux_diag = -self.bc_frac * self.bc_dhsdT * area_b
+            dir_diag = bc_frac * (1.0 - cnfac) * kavg_b / dist_b * area_b
+            hflux_diag = -bc_frac * bc_dhsdT * area_b
             bc_diag = jnp.where(bc_active,
                                 jnp.where(is_dir, dir_diag,
                                           jnp.where(is_hflux, hflux_diag, 0.0)),
@@ -353,13 +375,13 @@ class ThermalSoilGE:
             # rhs (Divergence:816-935)
             flux_b = -kavg_b * (T_bc - T[bids]) / dist_b
             rhs_dir = kavg_b / dist_b * T_bc * area_b
-            rhs_dir_otr = -self.bc_frac * cnfac * flux_b * area_b
+            rhs_dir_otr = -bc_frac * cnfac * flux_b * area_b
             # HEAT_FLUX rhs carries H - dhsdT*T_prev (the staged
             # cur_cond%value, GoveqnThermalKSPTemperatureSoilType.F90:
             # 344-348) so with the -frac*dhsdT diag the net surface flux
             # is H + dhsdT*(T_new - T_prev)
-            rhs_hflux = (self.bc_value - self.bc_dhsdT * T[bids]) \
-                * self.bc_frac * area_b
+            rhs_hflux = (bc_value - bc_dhsdT * T[bids]) \
+                * bc_frac * area_b
             bc_rhs = jnp.where(bc_active,
                                jnp.where(is_dir_otr, rhs_dir_otr,
                                          jnp.where(is_hflux, rhs_hflux,
@@ -371,7 +393,7 @@ class ThermalSoilGE:
             # with coupling_coords' FRM_OTR subset
             otr_mask = bcode == int(Cond.DIRICHLET_FRM_OTR_GOVEQ)
             cpl_all = jnp.where(bc_active,
-                                -self.bc_frac * (1.0 - cnfac) * kavg_b
+                                -bc_frac * (1.0 - cnfac) * kavg_b
                                 / dist_b * area_b, 0.0)
             cpl_vals = cpl_all[jnp.asarray(np.nonzero(otr_mask)[0])]
         else:
@@ -437,12 +459,15 @@ class ThermalSnowGE(ThermalSoilGE):
         n = self.mesh.ncells_all
         self.frac = jnp.ones(n)
 
-    def aux(self, T):
-        return thermal_snow_aux(self.liq_areal_den, self.ice_areal_den,
-                                self.frac, jnp.asarray(self.mesh.dz))
+    def aux(self, T, dyn=None):
+        d = dyn or {}
+        return thermal_snow_aux(d.get("liq", self.liq_areal_den),
+                                d.get("ice", self.ice_areal_den),
+                                d.get("frac", self.frac),
+                                jnp.asarray(self.mesh.dz))
 
-    def _bc_own_conductivity(self, T_bc, bc_ids):
-        k_cell, _ = self.aux(None)
+    def _bc_own_conductivity(self, T_bc, bc_ids, dyn=None):
+        k_cell, _ = self.aux(None, dyn)
         return k_cell[jnp.asarray(bc_ids)]
 
     def update_top_flux_conn(self):
@@ -472,11 +497,13 @@ class ThermalSSWGE(ThermalSoilGE):
         n = self.mesh.ncells_all
         self.frac = jnp.ones(n)
 
-    def aux(self, T):
-        return thermal_ssw_aux(self.frac, jnp.asarray(self.mesh.dz))
+    def aux(self, T, dyn=None):
+        d = dyn or {}
+        return thermal_ssw_aux(d.get("frac", self.frac),
+                               jnp.asarray(self.mesh.dz))
 
-    def _bc_own_conductivity(self, T_bc, bc_ids):
-        k_cell, _ = self.aux(None)
+    def _bc_own_conductivity(self, T_bc, bc_ids, dyn=None):
+        k_cell, _ = self.aux(None, dyn)
         return k_cell[jnp.asarray(bc_ids)]
 
 

@@ -149,8 +149,11 @@ def _boundary_conns_and_values(dim, nx, ny, nz, dx, dy, dz, xc3, yc3, zc3):
 
 
 def run_thermal_mms_problem(problem_type=STEADY_STATE_1D, nstep=1,
-                            nx=None, ny=None, nz=None):
-    """Build + solve; returns (mpp, solution array)."""
+                            nx=None, ny=None, nz=None, use_compiled=False):
+    """Build + solve; returns (mpp, solution array).
+
+    ``use_compiled`` routes step_dt through the compiled batched KSP
+    path (batched/ksp_compiled.py) instead of the host-side GMRES."""
     dim = problem_type
     if dim == STEADY_STATE_1D:
         defaults = (20, 1, 1)
@@ -220,6 +223,12 @@ def run_thermal_mms_problem(problem_type=STEADY_STATE_1D, nstep=1,
 
     src = _heat_source(dim, xc3, yc3, zc3, dx, dy, dz).ravel()
 
+    if use_compiled:
+        from mpp_tpu.batched.ksp_compiled import compile_ksp
+        # "petsc" replicates the reference's GMRES(30)+ILU(0) rtol-1e-5
+        # iterate, which the golden baselines embed (the direct solver is
+        # exact and lands ~6e-3 K away on the 2/3-D meshes)
+        compile_ksp(mpp, linear_solver="petsc").install()
     mpp.soe.pre_step_dt()
     for _ in range(nstep):
         mpp.set_r_data(AuxVarKind.SS, Var.BC_SS_CONDITION, 1, src)
