@@ -139,6 +139,14 @@ class CompiledKSP:
                              for b in (0, 1, 2)]
             self._tri_rows = [coo_r[i].astype(np.int32)
                               for i in self._tri_idx]
+            nvals = band.size
+            if nvals * 3 * self.n <= 2 ** 22:
+                M = np.zeros((nvals, 3 * self.n), np.float32)
+                M[np.arange(nvals),
+                  (band * self.n + coo_r).astype(np.int64)] = 1.0
+                self._tri_M = M          # numpy; jnp.asarray at use
+            else:
+                self._tri_M = None
             return
         if self.linear_solver == "petsc":
             from mpp_tpu.batched.ilu_gmres import BatchedILU0
@@ -200,13 +208,23 @@ class CompiledKSP:
         asm = jax.vmap(self._assemble_one, in_axes=(0, 0, 0, None, 0))
         vals, b = asm(T, bc, ss, dt, dyn)
         if self.is_tridiag:
-            diags = []
-            for i, rows in zip(self._tri_idx, self._tri_rows):
-                diags.append(jnp.zeros((T.shape[0], self.n), T.dtype)
-                             .at[:, jnp.asarray(rows)]
-                             .add(vals[:, jnp.asarray(i)]))
-            dl, d, du = diags
-            x = thomas(dl, d, du, b)
+            from mpp_tpu.models.richards import _use_matmul_scatter
+            if getattr(self, "_tri_M", None) is not None \
+                    and _use_matmul_scatter(T.dtype):
+                bands = jnp.dot(vals, jnp.asarray(self._tri_M),
+                                precision="float32")
+                n = self.n
+                dl, d, du = (bands[:, :n], bands[:, n:2 * n],
+                             bands[:, 2 * n:])
+            else:
+                diags = []
+                for i, rows in zip(self._tri_idx, self._tri_rows):
+                    diags.append(jnp.zeros((T.shape[0], self.n), T.dtype)
+                                 .at[:, jnp.asarray(rows)]
+                                 .add(vals[:, jnp.asarray(i)]))
+                dl, d, du = diags
+            from mpp_tpu.ops.pallas_kernels import pallas_thomas
+            x = pallas_thomas(dl, d, du, b)
             return x, jnp.ones(T.shape[0], bool)
         if self._ilu is not None:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched

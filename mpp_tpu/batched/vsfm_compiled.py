@@ -107,6 +107,8 @@ class CompiledVSFM:
                                    ls_steptol=1e-8,
                                    ksp_rtol=self.snes.ksp_rtol)
         self.max_cuts = max_cuts
+        # straggler-compaction divisor (see _snes_batched); 0 disables
+        self.compact_frac = 8
 
         # coupled-BC staging maps: for each GE, the bc_value slots that are
         # COND_DIRICHLET_FRM_OTR_GOVEQ and the global solution index whose
@@ -185,6 +187,18 @@ class CompiledVSFM:
                              for b in (0, 1, 2)]
             self._tri_rows = [coo_r[i].astype(np.int32)
                               for i in self._tri_idx]
+            # matmul-lowered band assembly for the TPU f32 path (the
+            # backend drops fused scatter-adds at batch widths <= 2048;
+            # see models/richards._use_matmul_scatter).  Gated by size:
+            # [nvals, 3n] stays small for column problems.
+            nvals = band.size
+            if nvals * 3 * self.n <= 2 ** 22:
+                M = np.zeros((nvals, 3 * self.n), np.float32)
+                M[np.arange(nvals),
+                  (band * self.n + coo_r).astype(np.int64)] = 1.0
+                self._tri_M = M          # numpy; jnp.asarray at use
+            else:
+                self._tri_M = None
 
             # CSR slot of each (i,i-1)/(i,i)/(i,i+1) entry; missing slots
             # point at entry 0 — their value is ignored by the Thomas sweep
@@ -231,7 +245,10 @@ class CompiledVSFM:
         F [ncol, n]."""
         if self.is_tridiag:
             dl, d, du = data          # _jac_one_tridiag's diagonal tuple
-            return thomas(dl, d, du, F)
+            # VMEM-tiled Pallas sweep on TPU f32 (0.82 of bytes-moved
+            # roofline; the dominant per-iteration op) — scan elsewhere
+            from mpp_tpu.ops.pallas_kernels import pallas_thomas
+            return pallas_thomas(dl, d, du, F)
         if self._ilu is not None:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
             lu = self._ilu.factor(data)
@@ -305,6 +322,12 @@ class CompiledVSFM:
                                           ss_value=ss_values[k],
                                           dyn=dyn[k]))
         v = jnp.concatenate(vals).astype(X.dtype)
+        from mpp_tpu.models.richards import _use_matmul_scatter
+        if self._tri_M is not None and _use_matmul_scatter(X.dtype):
+            bands = jnp.dot(v, jnp.asarray(self._tri_M),
+                            precision="float32")
+            n = self.n
+            return (bands[:n], bands[n:2 * n], bands[2 * n:])
         out = []
         for i, rows in zip(self._tri_idx, self._tri_rows):
             out.append(jnp.zeros(self.n, X.dtype)
@@ -322,27 +345,204 @@ class CompiledVSFM:
 
     # ---- batched Newton (SNES NEWTONLS + BT linesearch) --------------------
     def _snes_batched(self, X0, bc, ss, accum_prev, dt, src, dyn, tols):
-        """Returns (X, iters[ncol], reason[ncol]) — reason uses the PETSc
-        SNESConvergedReason codes of ops/snes.py.
+        """Returns (X, iters[scalar], reason[ncol]) — reason uses the
+        PETSc SNESConvergedReason codes of ops/snes.py.
 
         ``tols`` = (rtol, stol) dynamic scalars so the ALM retry ladder
         (MPPVSFMALM_Driver.F90:886-905 rtol/stol tightening) re-solves
-        without recompiling."""
+        without recompiling.
+
+        Straggler compaction: a handful of stiff columns (sharp ponded
+        fronts) need 5-10x the Newton iterations of the batch median,
+        and with plain per-column masks every extra iteration still pays
+        full-batch assembly/solve cost.  Once at most ncol/compact_frac
+        columns remain unconverged, they are gathered (argsort of the
+        done mask) into a narrow batch that continues Newton alone and
+        scatters its results back — the stiff tail costs 1/compact_frac
+        of full-batch time per iteration instead of serializing
+        everyone (the batched analog of the reference's per-rank
+        independence, SURVEY §2.8)."""
         sp = self.snes if X0.dtype == jnp.float64 else self.snes_f32
         rtol, stol = tols
-        # dt arrives as [ncol, 1] (per-column dt ladders) and maps to a
-        # length-1 vector inside the single-column evaluation
-        res_one = jax.vmap(self._residual_one,
-                           in_axes=(0, 0, 0, 0, 0, 0, 0))
-        res = lambda X, b, s, a, d: res_one(X, b, s, a, d, src, dyn)
-        jac_one = (self._jac_one_tridiag if self.is_tridiag
-                   else self._jac_one)
-        jac = jax.vmap(jac_one, in_axes=(0, 0, 0, 0, 0))
+        ncol = X0.shape[0]
+        compact = self.compact_frac
+        K = (ncol // compact) if compact and ncol >= 4096 else 0
 
         def colnorm(A):
             return jnp.sqrt(jnp.sum(A * A, axis=-1))
 
-        F0 = res(X0, bc, ss, accum_prev, dt)
+        def make_res(bc, ss, accum_prev, dtl, src, dyn):
+            res_one = jax.vmap(self._residual_one,
+                               in_axes=(0, 0, 0, 0, 0, 0, 0))
+            return lambda X: res_one(X, bc, ss, accum_prev, dtl, src, dyn)
+
+        def make_body(bc, ss, dtl, dyn, res, fnorm0, ttol):
+            jac_one = (self._jac_one_tridiag if self.is_tridiag
+                       else self._jac_one)
+            jacv = jax.vmap(jac_one, in_axes=(0, 0, 0, 0, 0))
+            jacf = lambda X: jacv(X, bc, ss, dtl, dyn)
+
+            def bt_linesearch(X, F, fnorm, Y, initslope, done):
+                """Batched SNESLineSearchBT (cubic), per-column lambda.
+
+                ``initslope`` = F·(J Y) sign-normalized, computed by the
+                caller with the actual Jacobian SpMV (PETSc
+                linesearchbt.c).  Returns (ok, X_new, G, gnorm, snorm)."""
+                ynorm0 = colnorm(Y)
+                zero = ynorm0 == 0.0
+                safe_y = jnp.where(zero, 1.0, ynorm0)
+                clampf = jnp.where(ynorm0 > sp.ls_maxstep,
+                                   sp.ls_maxstep / safe_y, 1.0)
+                Y = Y * clampf[:, None]
+                ynorm = jnp.minimum(ynorm0, sp.ls_maxstep)
+                minlam = sp.ls_steptol / safe_y
+
+                def accept_of(lam, gnorm):
+                    return (0.5 * gnorm * gnorm
+                            <= 0.5 * fnorm * fnorm
+                            + lam * sp.ls_alpha * initslope)
+
+                lam = jnp.full_like(fnorm, sp.ls_damping)
+                Xw = jnp.where(done[:, None], X, X - lam[:, None] * Y)
+                G = res(Xw)
+                gnorm = colnorm(G)
+                acc = accept_of(lam, gnorm) | zero | done
+                fail = ~acc & ~jnp.isfinite(gnorm)
+
+                # quadratic backtrack for the not-yet-accepted columns —
+                # skipped entirely (lax.cond) when every column accepted
+                # the full step, which is the common case: saves one
+                # batched residual evaluation per Newton iteration
+                lamprev, gnormprev = lam, gnorm
+
+                def quad_step(_):
+                    denom = (gnorm * gnorm - fnorm * fnorm
+                             - 2.0 * lam * initslope)
+                    lamq = -initslope / jnp.where(denom == 0.0, 1.0, denom)
+                    lamq = jnp.where(lamq > 0.5 * lam, 0.5 * lam, lamq)
+                    lamq = jnp.where(lamq <= 0.1 * lam, 0.1 * lam, lamq)
+                    lamq = jnp.where(jnp.isfinite(lamq), lamq, 0.1 * lam)
+                    lam2 = jnp.where(acc | fail, lam, lamq)
+                    Xw2 = jnp.where((acc | fail | done)[:, None], Xw,
+                                    X - lam2[:, None] * Y)
+                    G2 = res(Xw2)
+                    gnorm2 = jnp.where(acc | fail, gnorm, colnorm(G2))
+                    Xw2 = jnp.where((acc | fail)[:, None], Xw, Xw2)
+                    G2 = jnp.where((acc | fail)[:, None], G, G2)
+                    return lam2, Xw2, G2, gnorm2
+
+                def no_quad(_):
+                    return lam, Xw, G, gnorm
+
+                lam2, Xw2, G2, gnorm2 = lax.cond(jnp.all(acc | fail),
+                                                 no_quad, quad_step,
+                                                 operand=None)
+
+                def cond(s):
+                    lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, it = s
+                    return jnp.any(~acc & ~fail) & (it < sp.ls_max_it)
+
+                def body(s):
+                    lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, it = s
+                    newly = accept_of(lam, gnorm) & ~fail
+                    acc2 = acc | newly
+                    fail2 = fail | (~acc2 & ((lam <= minlam)
+                                             | ~jnp.isfinite(gnorm)))
+                    active = ~acc2 & ~fail2
+                    # cubic model (linesearchbt.c)
+                    t1 = (0.5 * (gnorm * gnorm - fnorm * fnorm)
+                          - lam * initslope)
+                    t2 = (0.5 * (gnormprev * gnormprev - fnorm * fnorm)
+                          - lamprev * initslope)
+                    dl_ = jnp.where(lam == lamprev, 1.0, lam - lamprev)
+                    a = (t1 / (lam * lam)
+                         - t2 / (lamprev * lamprev)) / dl_
+                    b = (-lamprev * t1 / (lam * lam)
+                         + lam * t2 / (lamprev * lamprev)) / dl_
+                    dsc = jnp.maximum(b * b - 3.0 * a * initslope, 0.0)
+                    lamt = jnp.where(a == 0.0, -initslope / (2.0 * b),
+                                     (-b + jnp.sqrt(dsc)) / (3.0 * a))
+                    lamn = jnp.where(lamt > 0.5 * lam, 0.5 * lam, lamt)
+                    lamn = jnp.where(lamn <= 0.1 * lam, 0.1 * lam, lamn)
+                    lamn = jnp.where(jnp.isfinite(lamn), lamn, 0.1 * lam)
+                    lamprev2 = jnp.where(active, lam, lamprev)
+                    gnormprev2 = jnp.where(active, gnorm, gnormprev)
+                    lam3 = jnp.where(active, lamn, lam)
+                    Xw3 = jnp.where(active[:, None], X - lam3[:, None] * Y,
+                                    Xw)
+                    G3 = res(Xw3)
+                    gnorm3 = jnp.where(active, colnorm(G3), gnorm)
+                    G3 = jnp.where(active[:, None], G3, G)
+                    return (lam3, lamprev2, gnorm3, gnormprev2, Xw3, G3,
+                            acc2, fail2, it + 1)
+
+                lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, _ = \
+                    lax.while_loop(cond, body,
+                                   (lam2, lamprev, gnorm2, gnormprev, Xw2,
+                                    G2, acc, fail,
+                                    jnp.zeros((), jnp.int32)))
+                # final accept check for the last evaluation
+                newly = accept_of(lam, gnorm) & ~fail
+                acc = acc | newly
+                fail = fail | ~acc
+                snorm = jnp.abs(lam) * ynorm
+                return acc & ~fail, Xw, G, gnorm, snorm
+
+            def body(s):
+                X, F, fnorm, it, done, reason = s
+                A = jacf(X)
+                Y = self._solve(A, F)
+                # BT initslope from the true Jacobian action
+                # (ops/snes.py:91-95)
+                W = self._matvec(A, Y)
+                islope = jnp.sum(F * W, axis=-1)
+                islope = jnp.where(islope > 0.0, -islope, islope)
+                islope = jnp.where(islope == 0.0, -1.0, islope)
+                ok, Xn, Gn, gnormn, snorm = bt_linesearch(X, F, fnorm, Y,
+                                                          islope, done)
+                # PETSc SNESSolve_NEWTONLS failure path: a failed line
+                # search with stol*xnorm > ynorm means the Newton update
+                # is already negligible — declare SNORM convergence at
+                # the pre-step iterate instead of divergence (ls.c
+                # checkresult; near-equilibrium solves exit this way).
+                ynorm_full = colnorm(Y)
+                xnorm_pre = colnorm(X)
+                tiny = ~ok & (stol * xnorm_pre > ynorm_full)
+                keep = done | tiny
+                ok = ok | tiny
+                X2 = jnp.where(keep[:, None], X, Xn)
+                F2 = jnp.where(keep[:, None], F, Gn)
+                fnorm2 = jnp.where(keep, fnorm, gnormn)
+                xnorm = colnorm(X2)
+                # SNESConvergedDefault ordering (ops/snes.py:291-308)
+                nan = ~jnp.isfinite(fnorm2)
+                r = jnp.where(~ok, DIVERGED_LINE_SEARCH, 0)
+                r = jnp.where(tiny, CONVERGED_SNORM_RELATIVE, r)
+                r = jnp.where(nan, DIVERGED_FNORM_NAN, r)
+                r = jnp.where((r == 0) & (fnorm2 < sp.atol),
+                              CONVERGED_FNORM_ABS, r)
+                r = jnp.where((r == 0) & (snorm < stol * xnorm),
+                              CONVERGED_SNORM_RELATIVE, r)
+                r = jnp.where((r == 0) & (fnorm2 <= ttol),
+                              CONVERGED_FNORM_RELATIVE, r)
+                r = jnp.where((r == 0) & (fnorm2 >= sp.divtol * fnorm0),
+                              DIVERGED_DTOL, r)
+                newly = (r != 0) & ~done
+                reason2 = jnp.where(newly, r, reason).astype(jnp.int32)
+                it2 = it + 1
+                done2 = done | newly
+                # max_it exhaustion
+                reason2 = jnp.where(~done2 & (it2 >= sp.max_it),
+                                    DIVERGED_MAX_IT, reason2) \
+                    .astype(jnp.int32)
+                return (X2, F2, fnorm2, it2, done2, reason2)
+
+            return body
+
+        # ---- phase A: full batch (until all done or only the stiff
+        # tail of <= K columns remains) ----
+        resA = make_res(bc, ss, accum_prev, dt, src, dyn)
+        F0 = resA(X0)
         fnorm0 = colnorm(F0)
         ttol = fnorm0 * rtol
         nan0 = ~jnp.isfinite(fnorm0)
@@ -350,162 +550,50 @@ class CompiledVSFM:
         reason0 = jnp.where(nan0, DIVERGED_FNORM_NAN,
                             jnp.where(fnorm0 < sp.atol, CONVERGED_FNORM_ABS,
                                       0)).astype(jnp.int32)
+        bodyA = make_body(bc, ss, dt, dyn, resA, fnorm0, ttol)
 
-        def bt_linesearch(X, F, fnorm, Y, initslope, done):
-            """Batched SNESLineSearchBT (cubic), per-column lambda.
-
-            ``initslope`` = F·(J Y) sign-normalized, computed by the
-            caller with the actual Jacobian SpMV (PETSc linesearchbt.c).
-            Returns (ok, X_new, G, gnorm, snorm)."""
-            ynorm0 = colnorm(Y)
-            zero = ynorm0 == 0.0
-            safe_y = jnp.where(zero, 1.0, ynorm0)
-            clampf = jnp.where(ynorm0 > sp.ls_maxstep,
-                               sp.ls_maxstep / safe_y, 1.0)
-            Y = Y * clampf[:, None]
-            ynorm = jnp.minimum(ynorm0, sp.ls_maxstep)
-            minlam = sp.ls_steptol / safe_y
-
-            def accept_of(lam, gnorm):
-                return (0.5 * gnorm * gnorm
-                        <= 0.5 * fnorm * fnorm + lam * sp.ls_alpha * initslope)
-
-            lam = jnp.full_like(fnorm, sp.ls_damping)
-            Xw = jnp.where(done[:, None], X, X - lam[:, None] * Y)
-            G = res(Xw, bc, ss, accum_prev, dt)
-            gnorm = colnorm(G)
-            acc = accept_of(lam, gnorm) | zero | done
-            fail = ~acc & ~jnp.isfinite(gnorm)
-
-            # quadratic backtrack for the not-yet-accepted columns —
-            # skipped entirely (lax.cond) when every column accepted the
-            # full step, which is the common case: saves one batched
-            # residual evaluation per Newton iteration (~25% of step time)
-            lamprev, gnormprev = lam, gnorm
-
-            def quad_step(_):
-                denom = (gnorm * gnorm - fnorm * fnorm
-                         - 2.0 * lam * initslope)
-                lamq = -initslope / jnp.where(denom == 0.0, 1.0, denom)
-                lamq = jnp.where(lamq > 0.5 * lam, 0.5 * lam, lamq)
-                lamq = jnp.where(lamq <= 0.1 * lam, 0.1 * lam, lamq)
-                lamq = jnp.where(jnp.isfinite(lamq), lamq, 0.1 * lam)
-                lam2 = jnp.where(acc | fail, lam, lamq)
-                Xw2 = jnp.where((acc | fail | done)[:, None], Xw,
-                                X - lam2[:, None] * Y)
-                G2 = res(Xw2, bc, ss, accum_prev, dt)
-                gnorm2 = jnp.where(acc | fail, gnorm, colnorm(G2))
-                Xw2 = jnp.where((acc | fail)[:, None], Xw, Xw2)
-                G2 = jnp.where((acc | fail)[:, None], G, G2)
-                return lam2, Xw2, G2, gnorm2
-
-            def no_quad(_):
-                return lam, Xw, G, gnorm
-
-            lam2, Xw2, G2, gnorm2 = lax.cond(jnp.all(acc | fail), no_quad,
-                                             quad_step, operand=None)
-
-            def cond(s):
-                lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, it = s
-                return jnp.any(~acc & ~fail) & (it < sp.ls_max_it)
-
-            def body(s):
-                lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, it = s
-                newly = accept_of(lam, gnorm) & ~fail
-                acc2 = acc | newly
-                fail2 = fail | (~acc2 & ((lam <= minlam)
-                                         | ~jnp.isfinite(gnorm)))
-                active = ~acc2 & ~fail2
-                # cubic model (linesearchbt.c)
-                t1 = 0.5 * (gnorm * gnorm - fnorm * fnorm) - lam * initslope
-                t2 = (0.5 * (gnormprev * gnormprev - fnorm * fnorm)
-                      - lamprev * initslope)
-                dl_ = jnp.where(lam == lamprev, 1.0, lam - lamprev)
-                a = (t1 / (lam * lam)
-                     - t2 / (lamprev * lamprev)) / dl_
-                b = (-lamprev * t1 / (lam * lam)
-                     + lam * t2 / (lamprev * lamprev)) / dl_
-                dsc = jnp.maximum(b * b - 3.0 * a * initslope, 0.0)
-                lamt = jnp.where(a == 0.0, -initslope / (2.0 * b),
-                                 (-b + jnp.sqrt(dsc)) / (3.0 * a))
-                lamn = jnp.where(lamt > 0.5 * lam, 0.5 * lam, lamt)
-                lamn = jnp.where(lamn <= 0.1 * lam, 0.1 * lam, lamn)
-                lamn = jnp.where(jnp.isfinite(lamn), lamn, 0.1 * lam)
-                lamprev2 = jnp.where(active, lam, lamprev)
-                gnormprev2 = jnp.where(active, gnorm, gnormprev)
-                lam3 = jnp.where(active, lamn, lam)
-                Xw3 = jnp.where(active[:, None], X - lam3[:, None] * Y, Xw)
-                G3 = res(Xw3, bc, ss, accum_prev, dt)
-                gnorm3 = jnp.where(active, colnorm(G3), gnorm)
-                G3 = jnp.where(active[:, None], G3, G)
-                return (lam3, lamprev2, gnorm3, gnormprev2, Xw3, G3, acc2,
-                        fail2, it + 1)
-
-            lam, lamprev, gnorm, gnormprev, Xw, G, acc, fail, _ = \
-                lax.while_loop(cond, body,
-                               (lam2, lamprev, gnorm2, gnormprev, Xw2, G2,
-                                acc, fail, jnp.zeros((), jnp.int32)))
-            # final accept check for the last evaluation
-            newly = accept_of(lam, gnorm) & ~fail
-            acc = acc | newly
-            fail = fail | ~acc
-            snorm = jnp.abs(lam) * ynorm
-            return acc & ~fail, Xw, G, gnorm, snorm
-
-        def cond(s):
+        def condA(s):
             X, F, fnorm, it, done, reason = s
-            return jnp.any(~done) & (it < sp.max_it)
+            go = jnp.any(~done) & (it < sp.max_it)
+            if K:
+                go = go & (jnp.sum(~done) > K)
+            return go
 
-        def body(s):
-            X, F, fnorm, it, done, reason = s
-            A = jac(X, bc, ss, dt, dyn)
-            Y = self._solve(A, F)
-            # BT initslope from the true Jacobian action (ops/snes.py:91-95)
-            W = self._matvec(A, Y)
-            islope = jnp.sum(F * W, axis=-1)
-            islope = jnp.where(islope > 0.0, -islope, islope)
-            islope = jnp.where(islope == 0.0, -1.0, islope)
-            ok, Xn, Gn, gnormn, snorm = bt_linesearch(X, F, fnorm, Y, islope,
-                                                      done)
-            # PETSc SNESSolve_NEWTONLS failure path: a failed line search
-            # with stol*xnorm > ynorm means the Newton update is already
-            # negligible — declare SNORM convergence at the pre-step
-            # iterate instead of divergence (ls.c checkresult; this is how
-            # near-equilibrium solves like vsfm_spac exit).
-            ynorm_full = colnorm(Y)
-            xnorm_pre = colnorm(X)
-            tiny = ~ok & (stol * xnorm_pre > ynorm_full)
-            keep = done | tiny
-            ok = ok | tiny
-            X2 = jnp.where(keep[:, None], X, Xn)
-            F2 = jnp.where(keep[:, None], F, Gn)
-            fnorm2 = jnp.where(keep, fnorm, gnormn)
-            xnorm = colnorm(X2)
-            # SNESConvergedDefault ordering (ops/snes.py:291-308)
-            nan = ~jnp.isfinite(fnorm2)
-            r = jnp.where(~ok, DIVERGED_LINE_SEARCH, 0)
-            r = jnp.where(tiny, CONVERGED_SNORM_RELATIVE, r)
-            r = jnp.where(nan, DIVERGED_FNORM_NAN, r)
-            r = jnp.where((r == 0) & (fnorm2 < sp.atol),
-                          CONVERGED_FNORM_ABS, r)
-            r = jnp.where((r == 0) & (snorm < stol * xnorm),
-                          CONVERGED_SNORM_RELATIVE, r)
-            r = jnp.where((r == 0) & (fnorm2 <= ttol),
-                          CONVERGED_FNORM_RELATIVE, r)
-            r = jnp.where((r == 0) & (fnorm2 >= sp.divtol * fnorm0),
-                          DIVERGED_DTOL, r)
-            newly = (r != 0) & ~done
-            reason2 = jnp.where(newly, r, reason).astype(jnp.int32)
-            it2 = it + 1
-            done2 = done | newly
-            # max_it exhaustion
-            reason2 = jnp.where(~done2 & (it2 >= sp.max_it),
-                                DIVERGED_MAX_IT, reason2).astype(jnp.int32)
-            return (X2, F2, fnorm2, it2, done2, reason2)
+        stA = lax.while_loop(condA, bodyA,
+                             (X0, F0, fnorm0, jnp.zeros((), jnp.int32),
+                              done0, reason0))
 
-        X, F, fnorm, iters, done, reason = lax.while_loop(
-            cond, body, (X0, F0, fnorm0, jnp.zeros((), jnp.int32), done0,
-                         reason0))
+        if K:
+            def compact_phase(st):
+                X, F, fnorm, it, done, reason = st
+                idx = jnp.argsort(done)[:K]      # not-done first (stable)
+                bcK = tuple(b[idx] for b in bc)
+                ssK = tuple(v[idx] for v in ss)
+                apK = tuple(a[idx] for a in accum_prev)
+                dtK = dt[idx]
+                srcK = src[idx]
+                dynK = jax.tree_util.tree_map(lambda a: a[idx], dyn)
+                resB = make_res(bcK, ssK, apK, dtK, srcK, dynK)
+                bodyB = make_body(bcK, ssK, dtK, dynK, resB, fnorm0[idx],
+                                  ttol[idx])
+
+                def condB(s):
+                    Xb, Fb, fnb, itb, db, rb = s
+                    return jnp.any(~db) & (itb < sp.max_it)
+
+                stB = lax.while_loop(condB, bodyB,
+                                     (X[idx], F[idx], fnorm[idx], it,
+                                      done[idx], reason[idx]))
+                Xb, Fb, fnb, itb, db, rb = stB
+                return (X.at[idx].set(Xb), F.at[idx].set(Fb),
+                        fnorm.at[idx].set(fnb), itb, done.at[idx].set(db),
+                        reason.at[idx].set(rb))
+
+            st = lax.cond(jnp.any(~stA[4]), compact_phase, lambda s: s,
+                          stA)
+        else:
+            st = stA
+        X, F, fnorm, iters, done, reason = st
         reason = jnp.where(reason == 0, DIVERGED_MAX_IT, reason)
         return X, iters, reason
 

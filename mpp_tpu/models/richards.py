@@ -49,6 +49,25 @@ from mpp_tpu.ops.snes import (SNESOptions, snes_solve, LS_BT, LS_L2,
                               LS_BASIC, LS_CP)
 
 
+
+def _use_matmul_scatter(dtype) -> bool:
+    """True when per-column scatter-adds should lower as small static
+    0/1-matrix matmuls instead of XLA scatters.
+
+    The axon/v5e backend miscompiles fused scatter-adds inside
+    while_loop bodies for batch widths <= 2048 in f32 (the scattered
+    contribution is dropped; reproduced and pinned down to the scatter
+    fusion — segment_sum and index-dtype variants all fail identically,
+    the matmul form is immune).  The matmul with a 0/1 matrix at
+    precision="float32" is exact, MXU-friendly, and used only on the
+    TPU f32 path so CPU/f64 golden parity keeps the reference summation
+    order."""
+    if dtype != jnp.float32:
+        return False
+    from mpp_tpu.ops.pallas_kernels import _on_tpu
+    return _on_tpu()
+
+
 def richards_aux(P, params: sf.SatParams, por_params: PorosityParams,
                  temperature, frac_liq, density_type: int):
     """RichODEPressureAuxVarCompute: (sat, dsat, kr, dkr, den, dden_dP,
@@ -352,6 +371,30 @@ class RichardsGE:
             off += m
         return perm_b, perm_cell
 
+    def _scatter_mats(self):
+        """Static 0/1 scatter matrices for the matmul lowering
+        (_use_matmul_scatter): internal [nconn, n] (+/-1), bc [nbc, n],
+        ss [nss, n]."""
+        cached = getattr(self, "_scat_mats", None)
+        if cached is not None:
+            return cached
+        n = self.mesh.ncells_local
+        ic = self._internal()
+        m = ic.num_connections
+        Min = np.zeros((m, n), np.float32)
+        np.add.at(Min, (np.arange(m), ic.id_up), -1.0)
+        np.add.at(Min, (np.arange(m), ic.id_dn), 1.0)
+        bc_ids = self._bc_concat()[0]
+        Mbc = np.zeros((bc_ids.size, n), np.float32)
+        np.add.at(Mbc, (np.arange(bc_ids.size), bc_ids), 1.0)
+        ss_ids = self._ss_concat()[0]
+        Mss = np.zeros((ss_ids.size, n), np.float32)
+        np.add.at(Mss, (np.arange(ss_ids.size), ss_ids), 1.0)
+        # cache NUMPY (a cached jnp constant would leak tracers across
+        # jit traces); jnp.asarray at use is a free constant embed
+        self._scat_mats = (Min, Mbc, Mss)
+        return self._scat_mats
+
     def coo_coords(self, row_off=0, col_off=0):
         """A-contribution coordinates: internal 4/conn, bc diag, ss diag,
         accum diag."""
@@ -637,17 +680,28 @@ class RichardsGE:
         F = jnp.where(active, por * den * sat * vol / dt, 0.0)
         F = F - accum_prev
 
+        use_mm = _use_matmul_scatter(P.dtype)
+        mats = (tuple(jnp.asarray(m) for m in self._scatter_mats())
+                if use_mm else None)
         ic, flux, _, _ = self._internal_fluxes(P, aux, dyn)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
         flux = jnp.where(both, flux, 0.0)
-        F = F.at[iu].add(-flux).at[idn].add(flux)
+        if use_mm:
+            F = F + jnp.dot(flux.astype(jnp.float32), mats[0],
+                            precision="float32")
+        else:
+            F = F.at[iu].add(-flux).at[idn].add(flux)
 
         bc_ids, flux_b, _, _ = self._bc_fluxes(P, aux, bc_value, dyn)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
-            F = F.at[bids].add(flux_b)
+            if use_mm:
+                F = F + jnp.dot(flux_b.astype(jnp.float32), mats[1],
+                                precision="float32")
+            else:
+                F = F.at[bids].add(flux_b)
 
         ss_ids, ss_code = self._ss_concat()
         if ss_ids.size:
@@ -668,7 +722,11 @@ class RichardsGE:
             contrib = jnp.where(jnp.asarray(is_camp), val / f_camp,
                                 jnp.where(jnp.asarray(is_fetch),
                                           val * f_fetch, val))
-            F = F.at[sids].add(-contrib)
+            if use_mm:
+                F = F - jnp.dot(contrib.astype(jnp.float32), mats[2],
+                                precision="float32")
+            else:
+                F = F.at[sids].add(-contrib)
         return F
 
     def residual_and_jac_values(self, P, dt, bc_value=None, ss_value=None,
@@ -693,20 +751,31 @@ class RichardsGE:
                else jnp.asarray(self.mesh.vol))
         F = jnp.where(active, por * den * sat * vol / dt, 0.0) - accum_prev
 
+        use_mm = _use_matmul_scatter(P.dtype)
+        mats = (tuple(jnp.asarray(m) for m in self._scatter_mats())
+                if use_mm else None)
         ic, flux, dfu, dfd = self._internal_fluxes(P, aux, dyn)
         iu, idn = jnp.asarray(ic.id_up), jnp.asarray(ic.id_dn)
         both = active[iu] & active[idn]
         flux = jnp.where(both, flux, 0.0)
         dfu = jnp.where(both, dfu, 0.0)
         dfd = jnp.where(both, dfd, 0.0)
-        F = F.at[iu].add(-flux).at[idn].add(flux)
+        if use_mm:
+            F = F + jnp.dot(flux.astype(jnp.float32), mats[0],
+                            precision="float32")
+        else:
+            F = F.at[iu].add(-flux).at[idn].add(flux)
         intr_vals = jnp.concatenate([-dfu, -dfd, dfu, dfd])
 
         bc_ids, flux_b, dfd_b, dfu_b = self._bc_fluxes(P, aux, bc_value, dyn)
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             flux_b = jnp.where(active[bids], flux_b, 0.0)
-            F = F.at[bids].add(flux_b)
+            if use_mm:
+                F = F + jnp.dot(flux_b.astype(jnp.float32), mats[1],
+                                precision="float32")
+            else:
+                F = F.at[bids].add(flux_b)
             bc_vals = jnp.where(active[bids], dfd_b, 0.0)
         else:
             bc_vals = jnp.zeros(0)
@@ -736,7 +805,11 @@ class RichardsGE:
             contrib = jnp.where(jnp.asarray(is_camp), val / f_camp_r,
                                 jnp.where(jnp.asarray(is_fetch),
                                           val * f_fetch_r, val))
-            F = F.at[sids].add(-contrib)
+            if use_mm:
+                F = F - jnp.dot(contrib.astype(jnp.float32), mats[2],
+                                precision="float32")
+            else:
+                F = F.at[sids].add(-contrib)
             f_camp = 1.0 + pw
             f_fetch = jnp.exp(-pw)
             v_camp = val * (nn * pw) / (dP_safe * f_camp ** 2.0)

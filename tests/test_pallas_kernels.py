@@ -82,7 +82,7 @@ def test_f32_newton_with_mixed_action_converges():
     bc = jnp.tile(jnp.asarray([[9.3991e4, 3.5355e3]], jnp.float32), (8, 1))
     ss = jnp.zeros((8, 0), jnp.float32)
     src = jnp.zeros((8, 16), jnp.float32)
-    Xn, iters, ok, reason = comp._step_dt_batched(X, (bc,), (ss,), 3600.0,
-                                                  src)
+    Xn, iters, ok, reason = comp.step_batched(X, (bc,), (ss,), 3600.0,
+                                              src=src)
     assert bool(ok.all()), np.asarray(reason)
     assert np.isfinite(np.asarray(Xn)).all()

@@ -137,3 +137,32 @@ def test_merged_residual_and_jac_equals_separate():
                                         ss_value=ss, accum_prev=ap)
     assert float(jnp.abs(F1 - F2).max()) == 0.0
     assert float(jnp.abs(V1 - V2).max()) == 0.0
+
+
+def test_straggler_compaction_matches_full_batch():
+    """The straggler-compaction phase (_snes_batched phase B: gather the
+    unconverged tail into a narrow batch, continue Newton, scatter back)
+    reproduces the plain full-batch solve exactly."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+
+    nz = 16
+    _, comp = g._build_compiled_celia(nz)
+    ncol = 4096                      # >= compaction threshold
+    dtype = jnp.float32
+    P0 = jnp.full((ncol, nz), 3.5355e3, dtype)
+    bc = jnp.stack([jnp.linspace(5.0e4, 9.8e4, ncol, dtype=dtype),
+                    jnp.full((ncol,), 3.5355e3, dtype)], axis=1)
+    ss = jnp.zeros((ncol, 0), dtype)
+
+    comp.compact_frac = 0
+    comp._step_jit = jax.jit(comp._step_dt_batched)
+    P_ref, it_ref, ok_ref, r_ref = comp.step_batched(P0, (bc,), (ss,),
+                                                     3600.0)
+    comp.compact_frac = 8
+    comp._step_jit = jax.jit(comp._step_dt_batched)
+    P_c, it_c, ok_c, r_c = comp.step_batched(P0, (bc,), (ss,), 3600.0)
+    assert bool(ok_ref.all()) and bool(ok_c.all())
+    np.testing.assert_array_equal(np.asarray(P_c), np.asarray(P_ref))
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_ref))
