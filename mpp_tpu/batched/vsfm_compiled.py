@@ -46,6 +46,7 @@ from mpp_tpu.ops.snes import (CONVERGED_FNORM_ABS, CONVERGED_FNORM_RELATIVE,
                               DIVERGED_LINE_SEARCH, DIVERGED_MAX_IT,
                               DIVERGED_DTOL)
 from mpp_tpu.ops.tridiag import thomas
+from mpp_tpu.constants import FMWH2O
 
 
 class SNESParams(NamedTuple):
@@ -363,7 +364,7 @@ class CompiledVSFM:
         everyone (the batched analog of the reference's per-rank
         independence, SURVEY §2.8)."""
         sp = self.snes if X0.dtype == jnp.float64 else self.snes_f32
-        rtol, stol = tols
+        rtol, stol, mass_tol = tols
         ncol = X0.shape[0]
         compact = self.compact_frac
         K = (ncol // compact) if compact and ncol >= 4096 else 0
@@ -527,6 +528,16 @@ class CompiledVSFM:
                               CONVERGED_FNORM_RELATIVE, r)
                 r = jnp.where((r == 0) & (fnorm2 >= sp.divtol * fnorm0),
                               DIVERGED_DTOL, r)
+                # mass-closure gate (production audit contract,
+                # MPPVSFMALM_Driver.F90:861-863): |sum F| * dt * FMWH2O
+                # is exactly the per-column audit integrand; with
+                # mass_tol > 0 a column may not declare convergence while
+                # its own mass balance is open — f32 arithmetic closes it
+                # to ~1e-7 kg, the loose f32 rtol just stops too early
+                msum_kg = jnp.abs(jnp.sum(F2, axis=-1)) \
+                    * dtl[:, 0] * FMWH2O
+                mass_ok = (mass_tol <= 0.0) | (msum_kg <= mass_tol)
+                r = jnp.where((r > 0) & ~mass_ok, 0, r)
                 newly = (r != 0) & ~done
                 reason2 = jnp.where(newly, r, reason).astype(jnp.int32)
                 it2 = it + 1
@@ -689,21 +700,27 @@ class CompiledVSFM:
         return dyn
 
     def step_batched(self, X, bc_values, ss_values, dt, src=None, dyn=None,
-                     rtol=None, stol=None):
+                     rtol=None, stol=None, mass_tol_kg=None):
         """Batched step: X [ncol, n]; bc_values/ss_values tuples of
         [ncol, nbc_g]/[ncol, nss_g] per GE; optional ``src`` [ncol, n]
         per-cell mass source (operator-split lateral coupling); optional
         ``dyn`` tuple of per-GE dynamic-parameter dicts with leading
         [ncol] batch axes (per-column heterogeneous soils — the ALM
         production contract); optional ``rtol``/``stol`` scalar overrides
-        (dynamic: the retry ladder re-solves without recompiling).
+        (dynamic: the retry ladder re-solves without recompiling);
+        optional ``mass_tol_kg``: per-column mass-closure convergence
+        gate — a column keeps iterating until |sum F|*dt*FMWH2O is under
+        this bound (the ALM audit integrand), so the f32 path meets the
+        production audit without escalating healthy columns.
         Returns (X, total_newton_iters, success[ncol], reason[ncol])."""
         if src is None:
             src = jnp.zeros_like(X)
         dyn = self._dyn_or_empty(dyn)
         sp = self.snes if X.dtype == jnp.float64 else self.snes_f32
         tols = (jnp.asarray(sp.rtol if rtol is None else rtol, X.dtype),
-                jnp.asarray(sp.stol if stol is None else stol, X.dtype))
+                jnp.asarray(sp.stol if stol is None else stol, X.dtype),
+                jnp.asarray(0.0 if mass_tol_kg is None else mass_tol_kg,
+                            X.dtype))
         return self._step_jit(X, tuple(bc_values), tuple(ss_values), dt,
                               src, dyn, tols)
 

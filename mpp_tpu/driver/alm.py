@@ -133,6 +133,13 @@ class ALMVSFMProblem:
     stol: float = 1e-10
     # f32 production: re-solve audit-failing columns in f64 (bounded)
     escalate_f64: bool = True
+    # per-problem audit threshold [kg] (the reference's 1e-5; an f32
+    # throughput mode without escalation must relax this to its
+    # evaluation floor ~ O(1e-6) relative of column storage)
+    audit_threshold_kg: float = MAX_ABS_MASS_ERROR_COL
+    # cached jitted audit/unpack closures (one device dispatch each —
+    # the remote-relay dispatch latency dominates otherwise)
+    jits: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def ncol(self) -> int:
@@ -287,6 +294,40 @@ def alm_vsfm_initialize(watsat, hksat, bsw, sucsat, residual_sat, dz, area,
 
 # ---- physical getters (VAR_MASS / VAR_LIQ_SAT analogs) ---------------------
 
+def _audit_unpack_jits(prob: ALMVSFMProblem):
+    """Jitted (storage, bc-flux) audit and (cell mass, smp) unpack
+    closures — one device dispatch per call."""
+    if "audit" not in prob.jits:
+        comp = prob.comp
+
+        # the audit accumulates ~1e2-1e3 kg of column storage and
+        # compares differences at 1e-5 kg: f32 summation noise alone is
+        # ~3e-5 kg, so the AUDIT always evaluates in f64 (the reference
+        # is f64 throughout); the solve state stays f32
+        with jax.enable_x64():
+            @jax.jit
+            def audit(P, bc, dyn):
+                up = lambda a: a.astype(jnp.float64)
+                return (comp.column_storage(
+                            up(P), jax.tree_util.tree_map(up, dyn)),
+                        comp.column_bc_flux(
+                            up(P), (up(bc),),
+                            jax.tree_util.tree_map(up, dyn)))
+
+        g = comp.goveqns[0]
+
+        @jax.jit
+        def unpack(P, dyn):
+            mass = jax.vmap(lambda x, dy: g.accum(x, dyn=dy))(P, dyn[0]) \
+                * FMWH2O
+            smp_l = (P - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT) * 1e3
+            return mass, smp_l
+
+        prob.jits["audit"] = audit
+        prob.jits["unpack"] = unpack
+    return prob.jits["audit"], prob.jits["unpack"]
+
+
 def cell_mass_kg(prob: ALMVSFMProblem, P, dyn=None):
     """Per-cell liquid water mass [kg] (VAR_MASS, full-physics por*den*
     sat*vol with the column's own parameters)."""
@@ -416,11 +457,10 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
         frac_ice = jnp.zeros((ncol, nz), dtype)
     dyn = (dyn_g,)
 
-    h2osoi_liq_prev = np.asarray(cell_mass_kg(prob, prob.P, dyn)) \
-        / area[:, None]
-    smp_prev_mm = np.asarray(
-        (prob.P - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT)) * 1000.0
-    zwt_prev = _water_table_depth(smp_prev_mm, prob.zi)
+    audit_fn, unpack_fn = _audit_unpack_jits(prob)
+    mass_prev, smp_prev_mm = unpack_fn(prob.P, prob.comp._dyn_or_empty(dyn))
+    h2osoi_liq_prev = np.asarray(mass_prev) / area[:, None]
+    zwt_prev = _water_table_depth(np.asarray(smp_prev_mm), prob.zi)
 
     # ---- stage SS conditions [kg/s] (Driver:290-430) ----
     nss = sum(m for _, m in prob.ss_slices.values())
@@ -477,7 +517,10 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     else:
         bc = jnp.zeros((ncol, 0), dtype)
 
-    mass_beg_col = np.asarray(comp.column_storage(prob.P, dyn)) * FMWH2O
+    dyn_full = comp._dyn_or_empty(dyn)
+    with jax.enable_x64():
+        mass_beg_col = np.asarray(
+            audit_fn(prob.P, bc, dyn_full)[0]) * FMWH2O
 
     P_prev = prob.P
     sp = comp.snes if dtype == jnp.float64 else comp.snes_f32
@@ -489,8 +532,17 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     P = P_prev
     while True:
         attempts += 1
+        # the mass-closure gate (|sum F|*dt*FMWH2O, the audit integrand)
+        # applies in f64 mode only: f64 closes it in the same iterations,
+        # while the f32 RESIDUAL-EVALUATION bias of ~column_storage *
+        # O(1e-6) kg means f32 cannot meaningfully iterate toward the
+        # f64-audited 1e-5 kg threshold on heavy columns — those columns
+        # go through the f64 escalation below instead (KNOWN_GAPS #9)
+        gate = (0.5 * MAX_ABS_MASS_ERROR_COL
+                if dtype == jnp.float64 else None)
         P, iters, done, reason = comp.step_batched(
-            P_prev, (bc,), (ss,), dtime, dyn=dyn, rtol=rtol, stol=stol)
+            P_prev, (bc,), (ss,), dtime, dyn=dyn, rtol=rtol, stol=stol,
+            mass_tol_kg=gate)
         converged = bool(jnp.all(done))
         if not converged:
             # Driver:650-667: alternate stol, after 2nd divergence reset
@@ -500,11 +552,22 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
             if diverged_count > 1:
                 dyn_g["frac_liq"] = jnp.ones((ncol, nz), dtype)
                 dyn = (dyn_g,)
-        else:
+                if dtype != jnp.float64 and prob.escalate_f64:
+                    # the stiff f32 tail cannot close the mass gate at
+                    # this dt — re-solve just those columns in f64
+                    # (beyond-reference hardening; the reference is f64
+                    # throughout so it never faces this)
+                    err_stub = np.where(np.asarray(done), 0.0, np.inf)
+                    P, err, nesc = _escalate_f64(
+                        prob, P_prev, P, bc, ss, dyn, err_stub, dtime,
+                        total_flux_col)
+                    escalated_cols += nesc
+                    converged = bool(np.all(np.isfinite(err)))
+        if converged:
             err = _audit_err(prob, P, bc, dyn, mass_beg_col,
                              total_flux_col, dtime)
             abs_mass_error = float(err.max())
-            if abs_mass_error >= MAX_ABS_MASS_ERROR_COL:
+            if abs_mass_error >= prob.audit_threshold_kg:
                 mass_bal_err_count += 1
                 # f32: tightening below the f32 evaluation floor cannot
                 # help — escalate the failing columns to f64 instead
@@ -536,12 +599,9 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     prob.P = P
 
     # ---- unpack to CLM arrays (Driver:700-900) ----
-    mass_cell = cell_mass_kg(prob, P, dyn)                # [kg]
+    mass_cell, smp_l = unpack_fn(P, comp._dyn_or_empty(dyn))
     h2osoi_liq = (1.0 - frac_ice) * mass_cell / area[:, None]   # [kg/m^2]
     h2osoi_ice = frac_ice * mass_cell / area[:, None]
-    # matrix potential [m] -> smp_l [mm] (Driver:851)
-    smp_m = (P - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT)
-    smp_l = smp_m * 1000.0
 
     zwt = _water_table_depth(np.asarray(smp_l), prob.zi)
 
@@ -549,7 +609,9 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     if prob.include_seepage_bc:
         # seepage mass exchange at the converged state (Driver:717-738);
         # positive column_bc_flux = outflow in the residual convention
-        bflux_kg = np.asarray(comp.column_bc_flux(P, (bc,), dyn)) * FMWH2O
+        with jax.enable_x64():
+            bflux_kg = np.asarray(
+                audit_fn(P, bc, comp._dyn_or_empty(dyn))[1]) * FMWH2O
         qflx_seepage = bflux_kg / conv
 
     return {
@@ -568,11 +630,14 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
 
 def _audit_err(prob, P, bc, dyn, mass_beg_col, total_flux_col, dtime):
     """Per-column |mass_beg - mass_end + total_flux*dt| [kg]
-    (MPPVSFMALM_Driver.F90:861-863); BC (seepage) fluxes at the converged
-    state enter with the residual's sign (outflow positive)."""
-    comp = prob.comp
-    mass_end_col = np.asarray(comp.column_storage(P, dyn)) * FMWH2O
-    bflux_kg = np.asarray(comp.column_bc_flux(P, (bc,), dyn)) * FMWH2O
+    (MPPVSFMALM_Driver.F90:861-863), evaluated in f64; BC (seepage)
+    fluxes at the converged state enter with the residual's sign
+    (outflow positive)."""
+    audit, _ = _audit_unpack_jits(prob)
+    with jax.enable_x64():
+        S, bflux = audit(P, bc, prob.comp._dyn_or_empty(dyn))
+    mass_end_col = np.asarray(S) * FMWH2O
+    bflux_kg = np.asarray(bflux) * FMWH2O
     return np.abs(mass_beg_col - mass_end_col
                   + (total_flux_col - bflux_kg) * dtime)
 
@@ -585,7 +650,7 @@ def _escalate_f64(prob, P_prev, P, bc, ss, dyn, err, dtime,
     The gather is padded to the next power of two so the escalated solve
     compiles once per padded size, not per failure pattern."""
     comp = prob.comp
-    fail = np.nonzero(err >= MAX_ABS_MASS_ERROR_COL)[0]
+    fail = np.nonzero(err >= prob.audit_threshold_kg)[0]
     if fail.size == 0:
         return P, err, 0
     cap = 1 << int(np.ceil(np.log2(fail.size)))

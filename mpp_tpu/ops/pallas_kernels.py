@@ -114,13 +114,16 @@ def tridiag_spmv_mixed(dl16, d16, du16, x, block_cols: int = 1024):
 
 
 def _thomas_block_cols(ncol: int, nz: int) -> int:
-    """Largest power-of-two column tile dividing ncol that keeps the
-    kernel's ~10 (nz, C) f32 buffers inside the 16 MB VMEM budget.
-    C = 1024 measures fastest on v5e for nz <= 128 (0.82 of the
-    5-stream bytes-moved roofline); halve for deeper columns."""
-    budget = 8 * 1024 * 1024 // (10 * nz * 4)
-    c = 1024
-    while c > budget:
+    """Column tile width for the Pallas Thomas kernel.
+
+    VMEM cost: 5 double-buffered (C, nz_eff) pipeline blocks (nz pads
+    to the 128-lane minimum) + 5 (nz, C) scratch buffers, within the
+    16 MB budget.  C=2048 measures fastest on v5e at nz=64 and nz=128;
+    wider tiles amortize the per-level sweep latency over more lanes."""
+    nz_eff = max(nz, 128)
+    c = 2048
+    while c >= 128 and (5 * c * nz_eff * 4 * 2
+                        + 5 * nz * c * 4) > 16 * 2 ** 20:
         c //= 2
     while c >= 128 and ncol % c:
         c //= 2
@@ -133,13 +136,16 @@ def pallas_thomas(dl, d, du, b):
 
     The lax.scan formulation moves ~15x the minimum HBM traffic
     (transpose materialization + per-level stacked carries) and runs at
-    ~0.07 of the 5-stream bytes-moved roofline on v5e.  This kernel
+    ~0.06 of the 5-stream bytes-moved roofline on v5e.  This kernel
     streams each column tile into VMEM once, transposes in-register to
     put columns in lanes, runs the forward/backward sweeps entirely in
-    VMEM scratch, and writes the solution back — 5 HBM streams total,
-    measured 0.82 of the bytes-moved roofline at [16384, 64] (31.2 us
-    vs the scan's 390 us).  Bitwise-equal ordering of operations per
-    level gives results identical to ``ops.tridiag.thomas`` in f32.
+    VMEM scratch, and writes the solution back — 5 HBM streams total.
+    Sustained (long dependent chains, latency-amortized): ~0.40 of the
+    bytes-moved roofline at [16384, 64] and ~0.55 at [16384, 128] —
+    6-12x the scan form; the residual gap is the per-level dependency
+    latency of the sweep, not HBM.  Numerically it solves the same
+    recurrence as ``ops.tridiag.thomas`` with one reciprocal per level
+    (a*inv vs a/denom: equal to f32 rounding, not bitwise).
 
     Falls back to the scan implementation off-TPU, for f64 (parity runs
     solve on CPU), and for shapes the layout cannot tile.
@@ -163,29 +169,34 @@ def pallas_thomas(dl, d, du, b):
         duT[:] = du_ref[:].T
         bp[:] = b_ref[:].T
         inv0 = 1.0 / dT[0:1, :]
-        cp[0:1, :] = duT[0:1, :] * inv0
-        bp[0:1, :] = bp[0:1, :] * inv0
+        cp0 = duT[0:1, :] * inv0
+        bp0 = bp[0:1, :] * inv0
+        cp[0:1, :] = cp0
+        bp[0:1, :] = bp0
 
-        def fwd(k, _):
-            cpm = cp[pl.ds(k - 1, 1), :]
-            bpm = bp[pl.ds(k - 1, 1), :]
+        # the level-to-level recurrence rides the loop carry (registers)
+        # so the critical path avoids the VMEM store->load latency; the
+        # cp/bp rows are still stored for the backward sweep
+        def fwd(k, carry):
+            cpm, bpm = carry
             dlk = dlT[pl.ds(k, 1), :]
             inv = 1.0 / (dT[pl.ds(k, 1), :] - dlk * cpm)
-            cp[pl.ds(k, 1), :] = duT[pl.ds(k, 1), :] * inv
-            bp[pl.ds(k, 1), :] = (bp[pl.ds(k, 1), :] - dlk * bpm) * inv
-            return 0
+            cpk = duT[pl.ds(k, 1), :] * inv
+            bpk = (bp[pl.ds(k, 1), :] - dlk * bpm) * inv
+            cp[pl.ds(k, 1), :] = cpk
+            bp[pl.ds(k, 1), :] = bpk
+            return (cpk, bpk)
 
-        lax.fori_loop(1, nz, fwd, 0)
+        lax.fori_loop(1, nz, fwd, (cp0, bp0))
 
         # back substitution in place: bp becomes x
-        def back(i, _):
+        def back(i, xn):
             k = nz - 2 - i
-            xn = bp[pl.ds(k + 1, 1), :]
-            bp[pl.ds(k, 1), :] = bp[pl.ds(k, 1), :] \
-                - cp[pl.ds(k, 1), :] * xn
-            return 0
+            xk = bp[pl.ds(k, 1), :] - cp[pl.ds(k, 1), :] * xn
+            bp[pl.ds(k, 1), :] = xk
+            return xk
 
-        lax.fori_loop(0, nz - 1, back, 0)
+        lax.fori_loop(0, nz - 1, back, bp[pl.ds(nz - 1, 1), :])
         x_ref[:] = bp[:].T
 
     bs = lambda: pl.BlockSpec((C, nz), lambda i: (i, 0),
