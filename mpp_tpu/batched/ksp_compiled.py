@@ -154,7 +154,12 @@ class CompiledKSP:
                                     self.template.indices)
             return
         for b in range(bw, min(self.n // 2, 1024) + 1):
-            if self.n % b == 0:
+            # a candidate block size must both divide n AND give a true
+            # block-tridiagonal cover: every entry within one block row of
+            # the diagonal (a non-level-major ordering can satisfy the
+            # bandwidth test yet scatter entries outside the blocks)
+            if self.n % b == 0 and \
+                    (np.abs(coo_r // b - coo_c // b) <= 1).all():
                 self.block_size = b
                 break
         if self.block_size is not None:

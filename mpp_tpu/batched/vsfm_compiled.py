@@ -154,8 +154,16 @@ class CompiledVSFM:
                 from mpp_tpu.batched.ilu_gmres import BatchedILU0
                 self._ilu = BatchedILU0(t.indptr, t.indices)
                 return
+            r64 = rows.astype(np.int64)
+            c64 = cols.astype(np.int64)
             for b in range(bw, min(self.n // 2, 1024) + 1):
-                if self.n % b == 0:
+                # a candidate block size must both divide n AND give a
+                # true block-tridiagonal cover: every entry within one
+                # block row of the diagonal (a non-level-major ordering
+                # can satisfy the bandwidth test yet scatter entries
+                # outside the blocks)
+                if self.n % b == 0 and \
+                        (np.abs(r64 // b - c64 // b) <= 1).all():
                     self.block_size = b
                     break
             if self.block_size is not None:
