@@ -160,8 +160,13 @@ def get_dpai_fssh():
     return dpai, fssh
 
 
-def run_mlc_problem(ncair: int = 1, ntree: int = 1) -> MLCMPP:
-    """Build and step the MLC problem (mlc_problem.F90:24-136)."""
+def run_mlc_problem(ncair: int = 1, ntree: int = 1,
+                    use_compiled: bool = False) -> MLCMPP:
+    """Build and step the MLC problem (mlc_problem.F90:24-136).
+
+    ``use_compiled`` routes step_dt through the compiled jitted
+    assemble+solve (batched/mlc_compiled.py) instead of the host-side
+    numpy assembly + GMRES."""
     mpp = MLCMPP(ncair=ncair, ntree=ntree, nz_cair=NZ_CAIR, z_cair=Z_CAIR)
     nlev = mpp.nlev
     ct = mpp.cturb
@@ -247,8 +252,11 @@ def run_mlc_problem(ncair: int = 1, ntree: int = 1) -> MLCMPP:
     mpp.soln[o[3]:o[3] + mpp.Nl] = ct.tref[0]
     mpp.soln_prev[:] = mpp.soln
 
+    if use_compiled:
+        from mpp_tpu.batched.mlc_compiled import compile_mlc
+        compile_mlc(mpp).install()
     # One 5-minute step (mlc_problem.F90:76-81)
-    converged, iters = mpp.step_dt(5.0 * 60.0)
+    converged, iters = mpp.soe.step_dt(5.0 * 60.0)
     if not converged:
         raise RuntimeError("MLC KSP solve diverged")
     return mpp
