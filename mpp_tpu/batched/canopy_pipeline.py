@@ -27,7 +27,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from mpp_tpu.constants import (MM_H2O, MM_DRY_AIR, RGAS, TFRZ)
+from mpp_tpu.constants import MM_H2O, MM_DRY_AIR
 from mpp_tpu.batched import turbulence as bt
 from mpp_tpu.batched import mlc as bmlc
 from mpp_tpu.batched import photosynthesis as bp

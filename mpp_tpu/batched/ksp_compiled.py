@@ -302,3 +302,64 @@ def compile_ksp(mpp, **kw) -> CompiledKSP:
     properties are baked in at trace time; BC/SS condition values and the
     per-GE ``dyn`` state dicts remain dynamic inputs."""
     return CompiledKSP(mpp, **kw)
+
+
+class CompiledRadiation:
+    """Compiled single-GE canopy radiation KSP step (longwave /
+    shortwave facades, GoveqnLongwave/Shortwave KSP path).
+
+    The radiation GEs' ``matrix_values``/``rhs`` are already pure
+    vectorized jnp over the staged auxvars (no per-cell Python), so the
+    compiled step jits assembly + the batched GMRES(30)+ILU(0) PETSc
+    replication — the same golden-fidelity Krylov semantics as the
+    serial ``_solve_ksp``, one XLA program per step."""
+
+    def __init__(self, mpp, ksp_rtol: float = 1e-5, ksp_restart: int = 30):
+        from mpp_tpu.ops.sparse import csr_template
+        from mpp_tpu.batched.ilu_gmres import BatchedILU0, make_ell_matvec
+        self.mpp = mpp
+        ge = mpp.goveqns[0]
+        r, c = ge.coo_coords()
+        n = ge.mesh.ncells_local * ge.dof
+        self.template = csr_template(n, n, r, c)
+        self._ilu = BatchedILU0(self.template.indptr, self.template.indices)
+        self._matvec = make_ell_matvec(self.template.indptr,
+                                       self.template.indices)
+        self.ksp_rtol = ksp_rtol
+        self.ksp_restart = ksp_restart
+
+        @jax.jit
+        def solve(vals, b):
+            from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
+            data = self.template.assemble(vals)[None, :]
+            lu = self._ilu.factor(data)
+            x, cycles = petsc_gmres_batched(self._matvec, data, b[None, :],
+                                            ilu=self._ilu, pc_data=lu,
+                                            rtol=self.ksp_rtol,
+                                            restart=self.ksp_restart)
+            return x[0], cycles
+        self._jit = solve
+
+    def install(self):
+        self.mpp.step_dt = self.step_dt
+        return self
+
+    def step_dt(self, dt, istep=1, solver=None):
+        m = self.mpp
+        ge = m.goveqns[0]
+        x, cycles = self._jit(ge.matrix_values(), ge.rhs())
+        m.cumulative_linear_iterations += int(cycles)
+        ge.save_soln(x)
+        if hasattr(ge, "post_solve"):
+            ge.post_solve()
+        if m.metrics is not None:
+            m.metrics.record(step=istep, dt=dt, converged=True,
+                             solver="compiled",
+                             linear_iterations=int(cycles))
+        return True, 0
+
+
+def compile_radiation(mpp, **kw) -> CompiledRadiation:
+    """Freeze a staged Longwave/Shortwave facade problem into a
+    compiled jitted assemble+solve."""
+    return CompiledRadiation(mpp, **kw)

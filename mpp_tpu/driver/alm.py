@@ -81,7 +81,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpp_tpu.constants import (Cond, ConnKind, GEType, MPPType, Region,
+from mpp_tpu.constants import (Cond, GEType, MPPType, Region,
                                MeshType as MeshKind, DENH2O, FMWH2O,
                                GRAVITY_CONSTANT, GRAV_CLM, PRESSURE_REF)
 from mpp_tpu.dtypes.mesh import column_mesh

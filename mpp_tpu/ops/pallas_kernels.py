@@ -24,8 +24,6 @@ for shapes the TPU layout cannot tile (ncol % block, nz % 128).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

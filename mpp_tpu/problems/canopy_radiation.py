@@ -75,7 +75,7 @@ def _top_bc_conns(nz_cair, ncair, dz_cair):
                          unit_vec=uv)
 
 
-def run_shortwave_problem(ncair=1, ntree=1):
+def run_shortwave_problem(ncair=1, ntree=1, use_compiled=False):
     """shortwave_problem.F90 + shortwave_parameters.F90."""
     nz_cair = 60
     dz_cair = Z_CAIR / nz_cair
@@ -146,6 +146,9 @@ def run_shortwave_problem(ncair=1, ntree=1):
     ge.bc_Iskyb = jnp.tile(jnp.asarray(Iskyb), (ncair, 1))
     ge.bc_Iskyd = jnp.tile(jnp.asarray(Iskyd), (ncair, 1))
 
+    if use_compiled:
+        from mpp_tpu.batched.ksp_compiled import compile_radiation
+        compile_radiation(mpp).install()
     ok, _ = mpp.step_dt(5.0 * 60.0)
     assert ok
     return mpp
@@ -162,7 +165,7 @@ def output_regression_shortwave(mpp, filename_base, num_cells):
     return w.filename
 
 
-def run_longwave_problem(ncair=1, ntree=1):
+def run_longwave_problem(ncair=1, ntree=1, use_compiled=False):
     """longwave_problem.F90 + longwave_parameters.F90."""
     nz_cair = 92
     dz_cair = Z_CAIR / nz_cair
@@ -199,6 +202,9 @@ def run_longwave_problem(ncair=1, ntree=1):
     ge.leaf_dpai = jnp.full((n, ge.nleaf), 0.1)
     ge.bc_Idn = jnp.full(ncair, Irsky)
 
+    if use_compiled:
+        from mpp_tpu.batched.ksp_compiled import compile_radiation
+        compile_radiation(mpp).install()
     ok, _ = mpp.step_dt(5.0 * 60.0)
     assert ok
     return mpp

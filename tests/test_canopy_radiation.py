@@ -39,3 +39,21 @@ def test_leafbndlyr_regression(tmp_path):
     from mpp_tpu.problems import canopy_radiation as cr
     _run("leafbndlyr", "leafbndlyr", cr.run_leafbndlyr_problem,
          cr.output_regression_leafbndlyr, tmp_path, 6)
+
+
+def test_shortwave_golden_via_compiled(tmp_path):
+    """The shortwave golden passes through the compiled jitted
+    assemble + batched GMRES+ILU(0) path (compile_radiation)."""
+    import functools
+    from mpp_tpu.problems import canopy_radiation as cr
+    _run("shortwave", "shortwave",
+         functools.partial(cr.run_shortwave_problem, use_compiled=True),
+         cr.output_regression_shortwave, tmp_path, 6)
+
+
+def test_longwave_golden_via_compiled(tmp_path):
+    import functools
+    from mpp_tpu.problems import canopy_radiation as cr
+    _run("longwave", "longwave",
+         functools.partial(cr.run_longwave_problem, use_compiled=True),
+         cr.output_regression_longwave, tmp_path, 6)
