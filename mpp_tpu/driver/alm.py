@@ -577,9 +577,9 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
                     P, err, nesc = _escalate_f64(
                         prob, P_prev, P, bc, ss, dyn, err, dtime,
                         total_flux_col)
-                    escalated_cols = nesc
+                    escalated_cols += nesc
                     abs_mass_error = float(err.max())
-                    if abs_mass_error < MAX_ABS_MASS_ERROR_COL:
+                    if abs_mass_error < prob.audit_threshold_kg:
                         break
                 else:
                     # Driver:886-905: tighten the criterion that fired
