@@ -270,12 +270,16 @@ class CompiledMLC:
                       + gbv_pv * S["av_leaf_fwet"][pv_i, pv_l]) \
             * S["av_leaf_fssh"][pv_i, pv_l] * S["av_leaf_dpai"][pv_i, pv_l]
         V.append(gleafet_pv)
-        # vapor connections: soil-touching conns take the series value
+        # vapor connections: soil-touching conns take the series value;
+        # non-touching lanes guard the (zero) soil resistance so masked
+        # branches stay finite under nan-debugging
         csc = jnp.asarray(self.conn_soil_cell)
-        gsw_c = 1.0 / S["av_soil_resis"][csc] * S["av_rhomol"][csc]
+        touches = jnp.asarray(self.conn_touches_soil)
+        res_safe = jnp.where(touches, S["av_soil_resis"][csc], 1.0)
+        gsw_c = 1.0 / res_safe * S["av_rhomol"][csc]
         ga_c = S["av_conn_ga"]
         vser = gsw_c * ga_c / (gsw_c + ga_c)
-        vval = jnp.where(jnp.asarray(self.conn_touches_soil), vser, ga_c)
+        vval = jnp.where(touches, vser, ga_c)
         V.append(jnp.where(~su & ~sd, -vval, 0.0))
         V.append(jnp.where(~su, vval, 0.0))
         V.append(jnp.where(~sd & ~su, -vval, 0.0))
