@@ -430,7 +430,11 @@ class CanopyPipeline:
         lbl.tref = jnp.full(2 * nc * nlev, 1.0, dtype) * forcing.tref
         lbl.compute()
         gbh2, gbv2, gbc2 = lbl.gbh, lbl.gbv, lbl.gbc
-        return (ga, labs, labs_soil, gbh2, gbv2, gbc2, tleaf2)
+        # build-time longwave/LBL staging arrays are f64 numpy; under
+        # jax_enable_x64 they upcast the stage — pin the stage boundary
+        # to the pipeline dtype so f32 runs stay f32 end to end
+        return tuple(a.astype(dtype) for a in
+                     (ga, labs, labs_soil, gbh2, gbv2, gbc2, tleaf2))
 
     def _stage_psy(self, state: CanopyState, pre, forcing: "Forcing"):
         nc, nlev = self.ncair, self.nlev
@@ -450,7 +454,7 @@ class CanopyPipeline:
         x0 = jnp.full((2 * nc * nlev, 1), 0.9 * self.co2ref, dtype)
         res, bounded = bp.solve(self.psy_cfg, p, x0)
         out = bp.post_solve(self.psy_cfg, p, res.x, bounded)
-        return jnp.where(bounded[:, 0], out.gs, ph.GS_MIN)
+        return jnp.where(bounded[:, 0], out.gs, ph.GS_MIN).astype(dtype)
 
     def _stage_mlc(self, state: CanopyState, pre, gs2, forcing: "Forcing",
                    dt=300.0):
