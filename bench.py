@@ -343,25 +343,27 @@ def bench_newton(jax, jnp):
     # serial-path comparison: Newton work per column at matched forcing.
     # Each column solved ALONE (the reference's per-rank serial model) in
     # f64 at PETSc tolerances vs our f32 batch criterion.
-    nz = 64
-    _, comp = g._build_compiled_celia(nz)
     tops = [5.0e4, 7.5e4, 9.0e4, 9.8e4]
     comparison = {}
-    for dtype, tag in ((jnp.float32, "f32"), (jnp.float64, "f64_serial")):
-        ctx = jax.enable_x64() if dtype == jnp.float64 else _null()
-        with ctx:
-            its_all = []
-            for tv in tops:
-                P = jnp.full((1, nz), 3.5355e3, dtype)
-                bcv = jnp.asarray([[tv, 3.5355e3]], dtype)
-                ssv = jnp.zeros((1, 0), dtype)
-                col = []
-                for _ in range(3):
-                    P, its, okc, _ = comp.step_batched(P, (bcv,), (ssv,),
-                                                       3600.0)
-                    col.append(int(its))
-                its_all.append(col)
-            comparison[tag] = dict(zip([str(t) for t in tops], its_all))
+    for nz in (64, 128):
+        _, comp = g._build_compiled_celia(nz)
+        for dtype, tag in ((jnp.float32, "f32"),
+                           (jnp.float64, "f64_serial")):
+            ctx = jax.enable_x64() if dtype == jnp.float64 else _null()
+            with ctx:
+                its_all = []
+                for tv in tops:
+                    P = jnp.full((1, nz), 3.5355e3, dtype)
+                    bcv = jnp.asarray([[tv, 3.5355e3]], dtype)
+                    ssv = jnp.zeros((1, 0), dtype)
+                    col = []
+                    for _ in range(3):
+                        P, its, okc, _ = comp.step_batched(
+                            P, (bcv,), (ssv,), 3600.0)
+                        col.append(int(its))
+                    its_all.append(col)
+                comparison[f"{tag}_nz{nz}"] = dict(
+                    zip([str(t) for t in tops], its_all))
     out["newton_work_vs_serial"] = {
         "per_column_iters_3steps": comparison,
         "note": "f64_serial replicates the reference's per-rank serial "
@@ -618,13 +620,15 @@ def bench_thermal(jax, jnp):
     dyn = ({"liq": liq},)
     lat = _latency(jax, jnp)
 
+    K = 1024          # amortize well past the dispatch-latency jitter
+
     @jax.jit
     def multi(T):
         def body(_, TT):
             Tn, _ = comp._step_batched_impl(TT, (bc,), (ss,), 1800.0,
                                             dyn)
             return Tn
-        return lax.fori_loop(0, 8, body, T)
+        return lax.fori_loop(0, K, body, T)
 
     jax.block_until_ready(multi(T0))
     ts = []
@@ -632,7 +636,7 @@ def bench_thermal(jax, jnp):
         t0 = time.perf_counter()
         jax.block_until_ready(multi(T0))
         ts.append(time.perf_counter() - t0)
-    dt = max(min(ts) - lat, 1e-9) / 8
+    dt = max(min(ts) - lat, 1e-9) / K
     return {
         "ncol": ncol, "nz": n, "dtype": "float32",
         "path": "compile_ksp batched assemble + Thomas solve, "
