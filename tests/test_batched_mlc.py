@@ -104,3 +104,16 @@ def test_batched_mlc_jits():
     assert np.isfinite(x).all()
     # physical sanity: canopy air temperature near the forcing (~296 K)
     assert 280.0 < x[:, 1:, 0].mean() < 310.0
+
+
+def test_compiled_mlc_matches_serial_step():
+    """CompiledMLC (vectorized segment assembly + batched GMRES+ILU)
+    reproduces the serial per-cell assembly + host Krylov step on the
+    same staged problem to f64 round-off (reference-tree independent)."""
+    import numpy as np
+    from mpp_tpu.problems.mlc import run_mlc_problem
+
+    x_serial = np.asarray(run_mlc_problem(ncair=2, ntree=2).soln)
+    x_comp = np.asarray(run_mlc_problem(ncair=2, ntree=2,
+                                        use_compiled=True).soln)
+    np.testing.assert_allclose(x_comp, x_serial, rtol=0, atol=1e-10)
