@@ -625,8 +625,8 @@ def bench_thermal(jax, jnp):
     @jax.jit
     def multi(T):
         def body(_, TT):
-            Tn, _ = comp._step_batched_impl(TT, (bc,), (ss,), 1800.0,
-                                            dyn)
+            Tn, _, _ = comp._step_batched_impl(TT, (bc,), (ss,), 1800.0,
+                                               dyn)
             return Tn
         return lax.fori_loop(0, K, body, T)
 

@@ -194,7 +194,9 @@ def petsc_gmres_batched(matvec, data, b, ilu: BatchedILU0 = None,
     ``matvec(data, x)``: batched SpMV.  ``b`` [ncol, n].  Per-column
     convergence on the recurrence-estimated preconditioned residual; a
     column converged at inner step mj receives the mj-truncated
-    correction.  Returns (x, cycles)."""
+    correction.  Returns (x, cycles, converged[ncol]) — the convergence
+    mask mirrors KSPGetConvergedReason as surfaced by the reference's
+    KSP stepper (SystemOfEquationsBaseType.F90:625-645)."""
     ncol, n = b.shape
     m = min(restart, n)
     dtype = b.dtype
@@ -280,4 +282,4 @@ def petsc_gmres_batched(matvec, data, b, ilu: BatchedILU0 = None,
 
     x, k, done = lax.while_loop(
         cond, body, (x0, jnp.zeros((), jnp.int32), rnorm0 <= tol))
-    return x, k
+    return x, k, done

@@ -55,7 +55,7 @@ class CompiledKSP:
 
     Batched use (production/TPU)::
 
-        T, ok = comp.step_batched(T, bc_values, ss_values, dt, dyn=dyn)
+        T, ok, iters = comp.step_batched(T, bc_values, ss_values, dt, dyn=dyn)
     """
 
     def __init__(self, mpp, linear_solver: str = "direct",
@@ -230,23 +230,23 @@ class CompiledKSP:
                 dl, d, du = diags
             from mpp_tpu.ops.pallas_kernels import pallas_thomas
             x = pallas_thomas(dl, d, du, b)
-            return x, jnp.ones(T.shape[0], bool)
+            return x, jnp.all(jnp.isfinite(x), axis=-1), jnp.ones((), jnp.int32)
         if self._ilu is not None:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
             data = jax.vmap(self.template.assemble)(vals)
             lu = self._ilu.factor(data)
-            x, info = petsc_gmres_batched(self._matvec, data, b,
-                                          ilu=self._ilu, pc_data=lu,
-                                          rtol=self.ksp_rtol,
-                                          restart=self.ksp_restart)
-            return x, jnp.ones(T.shape[0], bool)
+            x, cycles, conv = petsc_gmres_batched(self._matvec, data, b,
+                                                  ilu=self._ilu, pc_data=lu,
+                                                  rtol=self.ksp_rtol,
+                                                  restart=self.ksp_restart)
+            return x, conv & jnp.all(jnp.isfinite(x), axis=-1), cycles
         if self._bt is not None:
             x = jax.vmap(self._solve_one_direct_blocks)(vals, b)
-            return x, jnp.ones(T.shape[0], bool)
+            return x, jnp.all(jnp.isfinite(x), axis=-1), jnp.ones((), jnp.int32)
         data = jax.vmap(self.template.assemble)(vals)
         dense = jax.vmap(self.template.to_dense)(data)
         x = jnp.linalg.solve(dense, b[..., None])[..., 0]
-        return x, jnp.ones(T.shape[0], bool)
+        return x, jnp.all(jnp.isfinite(x), axis=-1), jnp.ones((), jnp.int32)
 
     # ---- public API -------------------------------------------------------
     def step_batched(self, T, bc_values, ss_values, dt, dyn=None):
@@ -254,7 +254,11 @@ class CompiledKSP:
         path assembles operators AND rhs from it, SOEBaseStepDT_KSP);
         bc_values/ss_values tuples of [ncol, nbc_g]/[ncol, nss_g] per GE;
         ``dyn`` tuple of per-GE dynamic-state dicts with leading [ncol]
-        axes.  Returns (T_new, ok[ncol])."""
+        axes.  Returns (T_new, ok[ncol], linear_iterations) — ``ok`` is
+        the real per-column KSP convergence (GMRES residual-ratio test on
+        the Krylov path; finite-solution check on direct solves), the
+        batched analog of KSPGetConvergedReason
+        (SystemOfEquationsBaseType.F90:625-645)."""
         if dyn is None:
             dyn = tuple({} for _ in self.goveqns)
         return self._step_jit(T, tuple(bc_values), tuple(ss_values), dt,
@@ -282,16 +286,18 @@ class CompiledKSP:
         soe = self.soe
         bc, ss = self.gather_inputs(1)
         T = soe.soln_prev[None, :]
-        Tn, ok = self.step_batched(T, bc, ss, dt)
+        Tn, ok, iters = self.step_batched(T, bc, ss, dt)
+        converged = bool(ok[0])
         soe.soln = Tn[0]
-        soe.cumulative_linear_iterations += 1
+        soe.cumulative_linear_iterations += int(iters)
         soe.soln_prev = soe.soln
         for g, off in zip(self.goveqns, self.offsets[:-1]):
             g.temperature = soe.soln[off:off + g.mesh.ncells_local]
         if soe.metrics is not None:
-            soe.metrics.record(step=nstep, dt=dt, converged=True,
-                               solver="compiled", linear_iterations=1)
-        return True
+            soe.metrics.record(step=nstep, dt=dt, converged=converged,
+                               solver="compiled",
+                               linear_iterations=int(iters))
+        return converged
 
 
 def compile_ksp(mpp, **kw) -> CompiledKSP:
@@ -333,11 +339,10 @@ class CompiledRadiation:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
             data = self.template.assemble(vals)[None, :]
             lu = self._ilu.factor(data)
-            x, cycles = petsc_gmres_batched(self._matvec, data, b[None, :],
-                                            ilu=self._ilu, pc_data=lu,
-                                            rtol=self.ksp_rtol,
-                                            restart=self.ksp_restart)
-            return x[0], cycles
+            x, cycles, conv = petsc_gmres_batched(
+                self._matvec, data, b[None, :], ilu=self._ilu, pc_data=lu,
+                rtol=self.ksp_rtol, restart=self.ksp_restart)
+            return x[0], cycles, conv[0]
         self._jit = solve
 
     def install(self):
@@ -347,16 +352,17 @@ class CompiledRadiation:
     def step_dt(self, dt, istep=1, solver=None):
         m = self.mpp
         ge = m.goveqns[0]
-        x, cycles = self._jit(ge.matrix_values(), ge.rhs())
+        x, cycles, conv = self._jit(ge.matrix_values(), ge.rhs())
+        converged = bool(conv)
         m.cumulative_linear_iterations += int(cycles)
         ge.save_soln(x)
         if hasattr(ge, "post_solve"):
             ge.post_solve()
         if m.metrics is not None:
-            m.metrics.record(step=istep, dt=dt, converged=True,
+            m.metrics.record(step=istep, dt=dt, converged=converged,
                              solver="compiled",
                              linear_iterations=int(cycles))
-        return True, 0
+        return converged, 0
 
 
 def compile_radiation(mpp, **kw) -> CompiledRadiation:

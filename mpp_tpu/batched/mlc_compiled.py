@@ -358,10 +358,10 @@ class CompiledMLC:
         vals, b = self._values_rhs(S, L, dt)
         data = self.template.assemble(vals)[None, :]
         lu = self._ilu.factor(data)
-        x, cycles = petsc_gmres_batched(self._matvec, data, b[None, :],
-                                        ilu=self._ilu, pc_data=lu,
-                                        rtol=self.ksp_rtol,
-                                        restart=self.ksp_restart)
+        x, cycles, conv = petsc_gmres_batched(self._matvec, data, b[None, :],
+                                              ilu=self._ilu, pc_data=lu,
+                                              rtol=self.ksp_rtol,
+                                              restart=self.ksp_restart)
         return x[0], cycles
 
     # ---- public API ----

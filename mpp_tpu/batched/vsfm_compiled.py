@@ -262,10 +262,11 @@ class CompiledVSFM:
             from mpp_tpu.batched.ilu_gmres import petsc_gmres_batched
             lu = self._ilu.factor(data)
             sp = self.snes
-            x, _ = petsc_gmres_batched(self._matvec, data, F, ilu=self._ilu,
-                                       pc_data=lu, rtol=sp.ksp_rtol,
-                                       atol=sp.ksp_atol,
-                                       restart=sp.ksp_restart)
+            x, _, _ = petsc_gmres_batched(self._matvec, data, F,
+                                          ilu=self._ilu, pc_data=lu,
+                                          rtol=sp.ksp_rtol,
+                                          atol=sp.ksp_atol,
+                                          restart=sp.ksp_restart)
             return x
         if self.block_size is not None:
             from mpp_tpu.ops.block_thomas import block_thomas

@@ -458,8 +458,15 @@ class RichardsGE:
         pp = self.bc_por_params
         if "por_base" in dyn:
             pp = dataclasses.replace(pp, porosity_base=dyn["por_base"][bids])
-        temp = (dyn["temperature"][bids] if "temperature" in dyn
-                else self.bc_temperature)
+        if "bc_temperature" in dyn:
+            # TH exchange contract: internal auxvars take the energy GE's
+            # dynamic T while BC auxvars keep the staged/driver-set value
+            # (SystemOfEquationsTHType.F90 exchanges internal auxvars only)
+            temp = dyn["bc_temperature"]
+        elif "temperature" in dyn:
+            temp = dyn["temperature"][bids]
+        else:
+            temp = self.bc_temperature
         return sp, pp, temp
 
     def _cell_aux(self, P, dyn=None):

@@ -304,17 +304,23 @@ class ThermalEnthalpyGE(RichardsGE):
                             self.therm_cond_wet, self.therm_cond_dry,
                             self.therm_alpha)
 
-    def _bc_aux_e(self, T, P):
+    def _bc_aux_e(self, T, P, bc_value=None, bc_pressure=None):
         """BC auxvars: temperature = condition value for Dirichlet
         (ThermEnthalpySoilUpdateAuxVarsBC:997-1009); pressure = staged
-        bc_pressure."""
+        bc_pressure.  ``bc_value``/``bc_pressure`` default to the staged
+        attributes (serial path); the compiled batched path passes them
+        explicitly so the evaluation is pure."""
+        if bc_value is None:
+            bc_value = self.bc_value
+        if bc_pressure is None:
+            bc_pressure = self.bc_pressure
         bc_ids, _, _, _, _, code = self._bc_concat()
         if not bc_ids.size:
             return None
         takes_value = np.isin(code, (int(Cond.DIRICHLET),))
-        T_bc = jnp.where(jnp.asarray(takes_value), self.bc_value,
+        T_bc = jnp.where(jnp.asarray(takes_value), bc_value,
                          T[jnp.asarray(bc_ids)])
-        return enthalpy_aux(self.bc_pressure, T_bc, self.bc_sat_params,
+        return enthalpy_aux(bc_pressure, T_bc, self.bc_sat_params,
                             self.bc_por_params, self.density_type,
                             self.int_energy_type, self.bc_therm_cond_wet,
                             self.bc_therm_cond_dry, self.bc_therm_alpha)
@@ -406,12 +412,21 @@ class ThermalEnthalpyGE(RichardsGE):
                 internal=False, cond_kind=bcode)
         return bc_ids, bcode, eflux, de_dn
 
-    def residual_e(self, T, P, dt):
-        """Energy residual (length ncells_local)."""
+    def residual_e(self, T, P, dt, bc_value=None, ss_value=None,
+                   accum_prev=None, bc_pressure=None):
+        """Energy residual (length ncells_local).  The optional dynamic
+        inputs default to the staged attributes (serial path); the
+        compiled batched TPU path passes them explicitly."""
+        if bc_value is None:
+            bc_value = self.bc_value
+        if ss_value is None:
+            ss_value = self.ss_value
+        if accum_prev is None:
+            accum_prev = self.accum_prev
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
         F = jnp.where(active, self.accum_e(T, P) / dt, 0.0)
-        F = F - self.accum_prev
+        F = F - accum_prev
 
         a = self._cell_aux_e(T, P)
         eflux, _, _ = self._internal_efluxes(T, P, a, "T")
@@ -422,7 +437,7 @@ class ThermalEnthalpyGE(RichardsGE):
         F = F.at[iu].add(-eflux).at[idn].add(eflux)
 
         bc_ids, bcode, eflux_b, _ = self._bc_efluxes(
-            T, P, a, self._bc_aux_e(T, P), "T")
+            T, P, a, self._bc_aux_e(T, P, bc_value, bc_pressure), "T")
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             is_dir = jnp.asarray(np.isin(
@@ -431,7 +446,7 @@ class ThermalEnthalpyGE(RichardsGE):
             is_hf = jnp.asarray(bcode == int(Cond.HEAT_FLUX))
             barea = jnp.asarray(self._bc_concat()[3])
             contrib = jnp.where(is_dir, eflux_b,
-                                jnp.where(is_hf, self.bc_value * barea, 0.0))
+                                jnp.where(is_hf, bc_value * barea, 0.0))
             contrib = jnp.where(active[bids], contrib, 0.0)
             F = F.at[bids].add(contrib)
 
@@ -440,10 +455,10 @@ class ThermalEnthalpyGE(RichardsGE):
             sids = jnp.asarray(ss_ids)
             if not (ss_code == int(Cond.HEAT_RATE)).all():
                 raise ValueError("Unknown SS condition in enthalpy GE")
-            F = F.at[sids].add(jnp.where(active[sids], self.ss_value, 0.0))
+            F = F.at[sids].add(jnp.where(active[sids], ss_value, 0.0))
         return F
 
-    def jacobian_e_values(self, T, P, dt):
+    def jacobian_e_values(self, T, P, dt, bc_value=None, bc_pressure=None):
         """dF/dT values in coo_coords order (internal 4/conn, bc diag,
         ss diag, accum diag)."""
         n = self.mesh.ncells_local
@@ -459,7 +474,7 @@ class ThermalEnthalpyGE(RichardsGE):
         intr_vals = jnp.concatenate([-de_up, -de_dn, de_up, de_dn])
 
         bc_ids, bcode, _, de_dn_b = self._bc_efluxes(
-            T, P, a, self._bc_aux_e(T, P), "T")
+            T, P, a, self._bc_aux_e(T, P, bc_value, bc_pressure), "T")
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             is_dir = jnp.asarray(np.isin(
@@ -493,7 +508,7 @@ class ThermalEnthalpyGE(RichardsGE):
         cols = [np.arange(n), ic.id_up, ic.id_dn, ic.id_up, ic.id_dn, bc_ids]
         return (np.concatenate(rows) + row_off, np.concatenate(cols) + col_off)
 
-    def offdiag_p_values(self, T, P, dt):
+    def offdiag_p_values(self, T, P, dt, bc_value=None, bc_pressure=None):
         n = self.mesh.ncells_local
         active = jnp.asarray(self.mesh.is_active)
         a = self._cell_aux_e(T, P)
@@ -516,7 +531,7 @@ class ThermalEnthalpyGE(RichardsGE):
         intr_vals = jnp.concatenate([-de_up, -de_dn, de_up, de_dn])
 
         bc_ids, bcode, _, de_dn_b = self._bc_efluxes(
-            T, P, a, self._bc_aux_e(T, P), "P")
+            T, P, a, self._bc_aux_e(T, P, bc_value, bc_pressure), "P")
         if bc_ids.size:
             bids = jnp.asarray(bc_ids)
             not_otr = jnp.asarray(bcode != int(Cond.DIRICHLET_FRM_OTR_GOVEQ))

@@ -38,8 +38,12 @@ PI = 4.0 * np.arctan(1.0)
 # ---------------------------------------------------------------------------
 # heat_transport_1D (standalone thermal-enthalpy MPP)
 # ---------------------------------------------------------------------------
-def run_heat_transport_1d(nz=100, dtime=3600.0, nstep=2):
-    """heat_transport_1D_problem.F90:22-101."""
+def run_heat_transport_1d(nz=100, dtime=3600.0, nstep=2, compiled=False):
+    """heat_transport_1D_problem.F90:22-101.
+
+    ``compiled=True`` routes step_dt through the jitted batched
+    single-update stepper (batched/th_compiled.CompiledThermalEnthalpy)
+    instead of the serial host solve — same physics, TPU driver."""
     nx = ny = 1
     mpp = ThermalEnthalpyMPP()
     mpp.set_name("1D heat conduction")
@@ -82,6 +86,10 @@ def run_heat_transport_1d(nz=100, dtime=3600.0, nstep=2):
     # ICs (:366-424): T=283.15, internal pressure 91325
     mpp.set_initial_temperature(np.full(n, 283.15))
     mpp.set_data(AuxVarKind.INTERNAL, Var.PRESSURE, -1, np.full(n, 91325.0))
+
+    if compiled:
+        from mpp_tpu.batched.th_compiled import compile_thermal_enthalpy
+        compile_thermal_enthalpy(mpp).install()
 
     for istep in range(1, nstep + 1):
         # set_bondary_conditions (:427-466)
@@ -199,8 +207,12 @@ def _x_face_bc_conn(nx, dx, dy, dz, cell, sign):
         itype=np.array([int(ConnKind.VERTICAL)], np.int32), unit_vec=uv)
 
 
-def run_mass_and_heat(nx=100, nz=1, dtime=3600.0, nstep=1):
-    """mass_and_heat_model_problem.F90:22-135."""
+def run_mass_and_heat(nx=100, nz=1, dtime=3600.0, nstep=1,
+                      compiled=False):
+    """mass_and_heat_model_problem.F90:22-135.
+
+    ``compiled=True`` routes step_dt through the jitted batched TH
+    Newton (batched/th_compiled.CompiledTH)."""
     ny = 1
     dx, dy, dz = 1.0 / nx, 1.0 / ny, 1.0 / nz
     n = nx * ny * nz
@@ -249,6 +261,10 @@ def run_mass_and_heat(nx=100, nz=1, dtime=3600.0, nstep=1):
 
     # ICs (:485-553): P=91325, T=283.15
     mpp.set_initial_solution(np.full(n, 91325.0), np.full(n, 283.15))
+
+    if compiled:
+        from mpp_tpu.batched.th_compiled import compile_th
+        compile_th(mpp).install()
 
     for istep in range(1, nstep + 1):
         # set_bondary_conditions (:556-652): T BCs + energy-GE BC pressure
@@ -385,7 +401,7 @@ def _mms_sources(xc, mms, density_type, int_energy_type):
     return mass_src, heat_src
 
 
-def run_th_mms(nx=20):
+def run_th_mms(nx=20, compiled=False):
     """th_mms_problem.F90:89-141 (STEADY_STATE_SOIL_ONLY_1D)."""
     ny = nz = 1
     x_min, x_max = 0.0, 10.0
@@ -474,6 +490,10 @@ def run_th_mms(nx=20):
         mpp.soe.ge_energy.bc_pressure.at[:].set(pres_bc)
     mpp.soe.ge_mass.bc_temperature = \
         mpp.soe.ge_mass.bc_temperature.at[:].set(temp_bc)
+
+    if compiled:
+        from mpp_tpu.batched.th_compiled import compile_th
+        compile_th(mpp).install()
 
     converged, _reason = mpp.soe.step_dt(1.0, 1)
     assert converged

@@ -95,10 +95,10 @@ def test_batched_heterogeneous_thermal_columns():
     liq = jnp.asarray(5.0 * rng.random((ncol, n)))
     dyn = ({"liq": liq},)
 
-    Tn, ok = comp.step_batched(T0, (bc,), (ss,), 1.0, dyn=dyn)
+    Tn, ok, _ = comp.step_batched(T0, (bc,), (ss,), 1.0, dyn=dyn)
     assert bool(ok.all())
     for c in range(ncol):
-        Tc, okc = comp.step_batched(T0[c:c + 1], (bc[c:c + 1],),
+        Tc, okc, _ = comp.step_batched(T0[c:c + 1], (bc[c:c + 1],),
                                     (ss[c:c + 1],), 1.0,
                                     dyn=({"liq": liq[c:c + 1]},))
         np.testing.assert_array_equal(np.asarray(Tc[0]),
