@@ -173,9 +173,22 @@ class CanopyPipeline:
         self.lbl.allocate_auxvars()
         self.lbl.dleaf = jnp.full(2 * n, 0.04)
 
-        # --- photosynthesis static params (photosynthesis_parameters.F90)
-        av = ph.PhotosynthesisAuxVars(2 * n, 1, c3psn=ph.PATHWAY_C3,
-                                      gstype=ph.SCM_MEDLYN)
+        # --- photosynthesis: a real facade problem (8-step builder) whose
+        # compiled form is the psy stage — one physics stack for the
+        # golden configs and the production pipeline (VERDICT r4 item 1).
+        # 2*n cells: [sun | shd] leaf lanes per canopy level.
+        from mpp_tpu.constants import MPPType
+        from mpp_tpu.problems.photosynthesis import _canopy_mesh
+        psy_mpp = ph.PhotosynthesisMPP()
+        psy_mpp.set_name("Photosynthesis model")
+        psy_mpp.set_id(MPPType.PHOTOSYNTHESIS_SNES)
+        psy_mpp.set_num_meshes(1)
+        psy_mpp.add_mesh(_canopy_mesh(ncair=2 * nc, ntree=1,
+                                      nz_cair=self.nz_cair))
+        psy_mpp.add_goveqn()
+        psy_mpp.allocate_auxvars(ph.PATHWAY_C3, ph.SCM_MEDLYN)
+        psy_mpp.setup_problem()
+        av = psy_mpp.soe.ge.avars
         av.pref[:] = self.pref
         av.cair[:] = self.co2ref
         av.o2ref[:] = self.o2ref
@@ -192,7 +205,10 @@ class CanopyPipeline:
         av.leaf_minlwp[:] = -2.0
         av.leaf_lai[:] = 500.0
         av.k_stem2leaf[:] = 4.0
-        self.psy_cfg, self._psy_params0 = bp.params_from_auxvars(av)
+        self.psy_mpp = psy_mpp
+        self.psy = bp.compile_photosynthesis(psy_mpp)
+        self.psy_cfg = self.psy.cfg
+        _, self._psy_params0 = bp.params_from_auxvars(av)
 
         # --- MLC static block-input pieces
         self.mlc_static = dict(

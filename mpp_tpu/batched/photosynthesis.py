@@ -618,3 +618,130 @@ def post_solve(cfg: PsyConfig, p: PsyParams, x: jnp.ndarray,
     gl_w = 1.0 / (1.0 / p.gbv + 1.0 / gs)
     return PostSolve(an=out.an, ag=out.ag, gs=gs, ci=out.ci,
                      gleaf_c=gl_c, gleaf_w=gl_w)
+
+
+def solve_global(cfg: PsyConfig, p: PsyParams, x0: jnp.ndarray,
+                 rtol: float = 1e-8, stol: float = 1e-10, atol: float = 1e-50,
+                 max_it: int = 50):
+    """Global-norm Newton replicating the serial facade solve's iteration
+    map (PhotosynthesisSoE.step_dt: one SNES solve over ALL cells with
+    SNESConvergedDefault on the global ||F||, matching the reference's
+    single PETSc SNESSolve per ml_model substep,
+    ``soe/SystemOfEquationsPhotosynthesisType.F90:154-249``).
+
+    Returns (SolveResult with scalar-broadcast convergence data, bounded,
+    reason, x_prev) — ``reason`` uses the PETSc codes (2=FNORM_ABS,
+    3=FNORM_RELATIVE, 4=SNORM_RELATIVE, 0=not converged).  ``x_prev`` is
+    the second-to-last iterate: the reference's BONAN14 FD Jacobian
+    clobbers the whole gs array with dof-0's value at each Jacobian
+    evaluation (GoveqnPhotosynthesis.F90:261-431's whole-array
+    assignment), so UNBOUNDED dofs end the solve holding the previous
+    iterate's dof-0 gs — needed for regression-exact auxvar writeback."""
+    bc = biochem_rates(cfg, p)
+    sd = soil_resistance(p)
+    bounded, x0 = determine_bounded(cfg, p, bc, sd, x0)
+
+    F0 = residual(cfg, p, bc, sd, x0, bounded)
+    fnorm0 = jnp.sqrt((F0 * F0).sum())
+    ttol = fnorm0 * rtol
+    reason0 = jnp.where(fnorm0 < atol, 2, 0).astype(jnp.int32)
+
+    def cond(state):
+        x, xp, F, fnorm, reason, it = state
+        return (reason == 0) & (it < max_it)
+
+    def body(state):
+        x, xp, F, fnorm, reason, it = state
+        diag = jacobian_diag(cfg, p, bc, sd, x, bounded)
+        dx = -F / diag
+        xn = x + dx
+        Fn = residual(cfg, p, bc, sd, xn, bounded)
+        fn = jnp.sqrt((Fn * Fn).sum())
+        r = jnp.where(fn <= ttol, 3, 0).astype(jnp.int32)
+        snorm = jnp.sqrt((dx * dx).sum())
+        xnorm = jnp.sqrt((xn * xn).sum())
+        r = jnp.where((r == 0) & (snorm < stol * xnorm), 4, r) \
+            .astype(jnp.int32)
+        return xn, x, Fn, fn, r, it + 1
+
+    x, x_prev, F, fnorm, reason, it = lax.while_loop(
+        cond, body, (x0, x0, F0, fnorm0, reason0, jnp.zeros((), jnp.int32)))
+    n = x.shape[0]
+    res = SolveResult(x=x, converged=jnp.broadcast_to(reason > 0, (n,)),
+                      iters=jnp.broadcast_to(it, (n,)),
+                      fnorm=jnp.broadcast_to(fnorm, (n,)))
+    return res, bounded, reason, x_prev
+
+
+class CompiledPhotosynthesis:
+    """A facade-built ``PhotosynthesisMPP`` frozen into the jitted
+    batched Newton — the compiled driver of the ONE batched physics
+    implementation (this module), which the canopy production pipeline
+    consumes for its psy stage.
+
+    Drop-in serial use (the standalone golden problems)::
+
+        comp = compile_photosynthesis(mpp).install()
+        converged, reason = mpp.soe.step_dt(0.0, 1)
+
+    The Newton runs jitted on device; the output chain (PostSolve
+    writeback into the auxvars for ``get_data``/regression output) reuses
+    the serial auxvar evaluation at the converged unknowns, so outputs
+    flow through the same code both paths.
+    """
+
+    def __init__(self, mpp):
+        import jax
+        self.mpp = mpp
+        self.ge = mpp.soe.ge
+        self.cfg, _ = params_from_auxvars(self.ge.avars)
+
+        def _solve(p, x0):
+            return solve_global(self.cfg, p, x0)
+        self._jit = jax.jit(_solve)
+
+    def install(self):
+        self.mpp.soe.step_dt = self.step_dt
+        return self
+
+    def step_dt(self, dt, nstep=1):
+        soe = self.mpp.soe
+        av = self.ge.avars
+        cfg, p = params_from_auxvars(av)
+        assert cfg == self.cfg, "static config changed after compile"
+        x0 = jnp.asarray(np.asarray(soe.soln, np.float64)
+                         .reshape(av.n, av.ndof))
+        res, bounded, reason, x_prev = self._jit(p, x0)
+        reason = int(reason)
+        converged = reason > 0
+        soe.soln = np.asarray(res.x).reshape(-1)
+        soe.soln_prev = soe.soln.copy()
+        soe.cumulative_newton_iterations += int(res.iters[0])
+        # PostSolve through the serial auxvar chain (identical output
+        # plumbing for both drivers).  BONAN14 family: the reference's FD
+        # Jacobian overwrites the WHOLE gs array with dof-0's value each
+        # evaluation (whole-array assignment, GoveqnPhotosynthesis.F90:
+        # 261-431), so unbounded dofs end the serial solve holding the
+        # previous iterate's dof-0 gs — replicate before writeback.
+        if av.gstype in (SCM_BONAN14, SCM_MODIFIED_BONAN14) \
+                and int(res.iters[0]) > 0:
+            nb = ~np.asarray(bounded)
+            xp0 = np.asarray(x_prev)[:, 0]
+            for d in range(av.ndof):
+                av.gs[nb[:, d], d] = xp0[nb[:, d]]
+        self.ge.save_primary(soe.soln)
+        av.aux_var_compute()
+        av.post_solve()
+        if soe.metrics is not None:
+            soe.metrics.record(step=nstep, dt=dt, converged=converged,
+                               reason=reason,
+                               newton_iterations=int(res.iters[0]),
+                               fnorm=float(res.fnorm[0]))
+        return converged, reason
+
+
+def compile_photosynthesis(mpp) -> CompiledPhotosynthesis:
+    """Freeze a fully-staged ``PhotosynthesisMPP`` into a compiled
+    batched stepper (call after staging + determine_if_solution_is_bounded
+    + initial condition)."""
+    return CompiledPhotosynthesis(mpp)

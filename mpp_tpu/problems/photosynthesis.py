@@ -87,7 +87,10 @@ def _set_soil_parameters(av: ph.PhotosynthesisAuxVars):
 
 
 def run_photosynthesis_problem(pathway="c4", scm="medlyn",
-                               ncair=1, ntree=1):
+                               ncair=1, ntree=1, compiled=False):
+    """``compiled=True`` routes the SNES solve through the jitted batched
+    Newton (batched/photosynthesis.compile_photosynthesis) instead of the
+    serial host iteration — same physics chain, TPU driver."""
     c3psn = PATHWAYS[pathway]
     gstype = SCMS[scm]
     nz = NZ_CAIR
@@ -147,6 +150,10 @@ def run_photosynthesis_problem(pathway="c4", scm="medlyn",
         mpp.soe.soln[:] = 0.9 * 380.0
     else:
         mpp.soe.soln[:] = 0.002
+
+    if compiled:
+        from mpp_tpu.batched.photosynthesis import compile_photosynthesis
+        compile_photosynthesis(mpp).install()
 
     converged, reason = mpp.soe.step_dt(0.0, 1)
     assert converged, f"photosynthesis SNES diverged (reason {reason})"
