@@ -395,28 +395,198 @@ def _lateral_source(prob: ALMVSFMProblem, P):
 
 def _stage_drainage(qflx_drain, zwt, zi, dz, h2osoi_liq, dtime, conv):
     """Per-layer drainage sinks [kg/s, bottom-first] with the water-table
-    split and watmin limiter (MPPVSFMALM_Driver.F90:330-370)."""
+    split and watmin limiter (MPPVSFMALM_Driver.F90:330-370).
+
+    Pure jnp (runs inside the fused per-attempt program); also accepts
+    numpy (the jnp ops are shape-preserving elementwise/reductions)."""
     ncol, nz = dz.shape
-    qflx_drain = np.asarray(qflx_drain, np.float64)
-    out = np.zeros((ncol, nz))
+    qflx_drain = jnp.asarray(qflx_drain, jnp.float64)
     pos = qflx_drain > 0.0
-    if not pos.any():
-        return out, np.zeros(ncol)
     # jwt: CLM layer above the water table (1-based top-first), >= 1
     # zi is top-first cumulative depth
     below = zwt[:, None] <= zi[:, 1:]            # [ncol, nz] layer j+1
-    jwt = np.where(below.any(axis=1), below.argmax(axis=1), nz)  # 0-based
-    jwt = np.maximum(jwt, 1)
+    jwt = jnp.where(below.any(axis=1), jnp.argmax(below, axis=1), nz)
+    jwt = jnp.maximum(jwt, 1)
     dz_top = dz[:, ::-1]                          # top-first
     liq_top = h2osoi_liq[:, ::-1]
-    mask = np.arange(nz)[None, :] >= jwt[:, None]  # layers jwt..nz-1
-    dzsum = np.where(mask, dz_top, 0.0).sum(axis=1)
-    dzsum = np.where(dzsum > 0.0, dzsum, 1.0)
+    mask = jnp.arange(nz)[None, :] >= jwt[:, None]  # layers jwt..nz-1
+    dzsum = jnp.where(mask, dz_top, 0.0).sum(axis=1)
+    dzsum = jnp.where(dzsum > 0.0, dzsum, 1.0)
     ql = qflx_drain[:, None] * dz_top / dzsum[:, None]
-    ql = np.minimum(ql, np.maximum(liq_top - WATMIN, 0.0) / dtime)
-    ql = np.where(mask & pos[:, None], ql, 0.0)
+    ql = jnp.minimum(ql, jnp.maximum(liq_top - WATMIN, 0.0) / dtime)
+    ql = jnp.where(mask & pos[:, None], ql, 0.0)
     out = -(ql[:, ::-1]) * conv[:, None]          # back to bottom-first
     return out, ql.sum(axis=1)                    # (kg/s sinks, mm/s total)
+
+
+def _fused_attempt_jit(prob: ALMVSFMProblem):
+    """ONE jitted program per solve attempt (VERDICT r4 item 2; the
+    reference issues one driver call per step, MPPVSFMALM_Driver.F90:
+    380-663): previous-state unpack (zwt for the drainage split) ->
+    flux unit conversion + SS staging -> lateral source -> the batched
+    Newton -> f64 mass audit -> CLM unpack.  Host Python remains only
+    between retry-ladder attempts, and each attempt costs exactly one
+    dispatch plus one small diagnostics pull.
+
+    The single-device UGDM lateral path is the one stage that cannot
+    trace (numpy natural-order scatters); it is staged outside and
+    passed in via ``lat_kg_in``.
+    """
+    if "fused" in prob.jits:
+        return prob.jits["fused"]
+    comp = prob.comp
+    ncol, nz = prob.ncol, prob.nz
+    ss_order = list(prob.ss_slices)
+    include_seepage = prob.include_seepage_bc
+    lateral_inline = prob.lateral_connectivity and (
+        prob.ugdm is None or prob.device_mesh is not None)
+    area_np = np.asarray(prob.area, np.float64)
+    zi_np = np.asarray(prob.zi, np.float64)
+    dz_np = np.asarray(prob.dz, np.float64)
+    g = comp.goveqns[0]
+
+    def fused(P_prev, dyn_base, temperature, frac_liq, frac_ice,
+              forcing, lat_kg_in, reset_fl, rtol, stol, gate, dtime):
+        dtype = P_prev.dtype
+        f64 = jnp.float64
+        area = jnp.asarray(area_np)
+        zi = jnp.asarray(zi_np)
+        dz = jnp.asarray(dz_np)
+        conv = area * DENH2O * 1e-3               # [mm/s] -> [kg/s]
+        up = lambda a: a.astype(f64)
+
+        # ---- dynamic auxvar state (Driver:399-465) ----
+        fl = jnp.where(reset_fl, jnp.ones_like(frac_liq), frac_liq)
+        dyn_g = dict(dyn_base)
+        dyn_g["temperature"] = temperature
+        dyn_g["frac_liq"] = fl
+        dyn = (dyn_g,)
+        dyn64 = jax.tree_util.tree_map(up, dyn)
+
+        # ---- previous-state unpack for the drainage split ----
+        P64 = up(P_prev)
+        mass_prev = jax.vmap(lambda x, dy: g.accum(x, dyn=dy))(
+            P64, dyn64[0]) * FMWH2O
+        smp_prev = (P64 - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT) * 1e3
+        h2o_prev = mass_prev / area[:, None]
+        zwt_prev = _water_table_depth(smp_prev, zi)
+
+        # ---- stage SS conditions [kg/s] (Driver:290-430) ----
+        parts = {name: jnp.zeros((ncol, m), f64)
+                 for name, (_, m) in prob.ss_slices.items()}
+        et = (-forcing["qflx_tran_veg"] * conv)[:, None] * forcing["rootr"]
+        parts["Evapotranspiration_Flux"] = et
+        parts["Infiltration_Flux"] = (forcing["qflx_infl"]
+                                      * conv)[:, None]
+        parts["Dew_Flux"] = (forcing["qflx_dew"] * conv)[:, None]
+        parts["Sublimation_Flux"] = (-forcing["qflx_sub_snow"]
+                                     * conv)[:, None]
+        parts["Snow_Disappearance_Flux"] = forcing["mflx_snowlyr"][:, None]
+        drain, qflx_drain_tot = _stage_drainage(
+            forcing["qflx_drain"], zwt_prev, zi, dz, h2o_prev, dtime, conv)
+        parts["Drainage_Flux"] = drain
+
+        qflx_lateral = jnp.zeros(ncol, f64)
+        if "Lateral_flux" in parts:
+            if lateral_inline:
+                lat_kg = up(_lateral_source_pure(prob, P_prev,
+                                                 dyn_base)) * FMWH2O
+            else:
+                lat_kg = lat_kg_in
+            parts["Lateral_flux"] = lat_kg
+            # qflx_lateral = -sum(mflx)/conv (Driver:522-523), mm/s
+            qflx_lateral = -lat_kg.sum(axis=1) / conv
+
+        ss64 = jnp.concatenate([parts[name] for name in ss_order], axis=1)
+        total_flux_col = ss64.sum(axis=1)          # [kg/s]
+        ss = ss64.astype(dtype)
+        # seepage BC pressure = PRESSURE_REF (Driver:538-545)
+        if include_seepage:
+            bc = jnp.full((ncol, 1), 101325.0, dtype)
+        else:
+            bc = jnp.zeros((ncol, 0), dtype)
+
+        # the audit accumulates ~1e2-1e3 kg of column storage and
+        # compares differences at 1e-5 kg: f32 summation noise alone is
+        # ~3e-5 kg, so the AUDIT always evaluates in f64 (the reference
+        # is f64 throughout); the solve state stays ``dtype``
+        mass_beg = comp.column_storage(P64, dyn64) * FMWH2O
+
+        # ---- the batched Newton (per-column dt ladders) ----
+        src = jnp.zeros_like(P_prev)
+        tols = (jnp.asarray(rtol, dtype), jnp.asarray(stol, dtype),
+                jnp.asarray(gate, dtype))
+        X, iters, done, reason = comp._step_dt_batched(
+            P_prev, (bc,), (ss,), dtime, src, dyn, tols)
+
+        # ---- f64 audit at the converged state (Driver:861-863) ----
+        X64 = up(X)
+        S_end = comp.column_storage(X64, dyn64)
+        bflux = comp.column_bc_flux(X64, (up(bc),), dyn64)
+        err = jnp.abs(mass_beg - S_end * FMWH2O
+                      + (total_flux_col - bflux * FMWH2O) * dtime)
+
+        # ---- unpack to CLM arrays (Driver:700-900) ----
+        mass_cell = jax.vmap(lambda x, dy: g.accum(x, dyn=dy))(
+            X, dyn[0]) * FMWH2O
+        smp_l = (X - PRESSURE_REF) / (DENH2O * GRAVITY_CONSTANT) * 1e3
+        h2osoi_liq = (1.0 - frac_ice) * mass_cell / area[:, None]
+        h2osoi_ice = frac_ice * mass_cell / area[:, None]
+        zwt = _water_table_depth(smp_l, zi)
+        qflx_seepage = bflux * FMWH2O / conv
+
+        diag = jnp.stack([
+            jnp.all(done).astype(f64), err.max(), iters.astype(f64),
+            jnp.any(done & (reason == CONVERGED_FNORM_RELATIVE))
+               .astype(f64),
+            jnp.any(done & (reason == CONVERGED_SNORM_RELATIVE))
+               .astype(f64)])
+        return {"P": X, "done": done, "reason": reason, "err": err,
+                "diag": diag, "mass_beg": mass_beg,
+                "total_flux_col": total_flux_col, "ss": ss, "bc": bc,
+                "S_end": S_end, "bflux": bflux,
+                "mass_cell": mass_cell, "smp_l": smp_l,
+                "h2osoi_liq": h2osoi_liq, "h2osoi_ice": h2osoi_ice,
+                "zwt": zwt, "qflx_seepage": qflx_seepage,
+                "qflx_lateral": qflx_lateral,
+                "qflx_drain_tot": qflx_drain_tot}
+
+    prob.jits["fused"] = jax.jit(fused)
+    return prob.jits["fused"]
+
+
+def _lateral_source_pure(prob: ALMVSFMProblem, P, dyn_base):
+    """Traceable lateral source [kmol/s]: ring stencil or sharded UGDM
+    (the single-device UGDM path stays host-side, `_lateral_source`)."""
+    from mpp_tpu.parallel.sharding import lateral_flux_op_split
+    dtype = P.dtype
+    if prob.ugdm is not None:
+        g = prob.comp.goveqns[0]
+        kr = jax.vmap(lambda x, dy: g._cell_aux(x, dy)[2])(P, dyn_base)
+        perm = dyn_base["perm"][..., 0]
+        dz = jnp.asarray(prob.dz, dtype)
+        dm = prob.ugdm
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+        spec = PS(prob.mesh_axis, None)
+        fn = shard_map(
+            lambda p_, k_, pe_, dz_: dm.lateral_darcy_source(
+                p_, k_, pe_, dz_, axis_name=prob.mesh_axis),
+            mesh=prob.device_mesh, in_specs=(spec,) * 4, out_specs=spec)
+        return fn(P, kr, perm, dz)
+    gc = jnp.asarray(prob.lateral_conductance, dtype)
+    if prob.device_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+        spec = PS(prob.mesh_axis, None)
+        fn = shard_map(
+            lambda x: lateral_flux_op_split(x, gc,
+                                            axis_name=prob.mesh_axis),
+            mesh=prob.device_mesh, in_specs=(spec,), out_specs=spec)
+        return fn(P)
+    left = jnp.concatenate([P[:1], P[:-1]], axis=0)
+    right = jnp.concatenate([P[1:], P[-1:]], axis=0)
+    return -gc * ((P - left) + (P - right))
 
 
 def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
@@ -434,139 +604,126 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     ``t_soil`` [K, ncol, nz] soil temperature, ``frac_ice`` [ncol, nz]
     ice fraction (stages frac_liq = 1 - frac_ice).
 
+    Each attempt of the retry ladder runs as ONE fused jitted program
+    (staging -> solve -> f64 audit -> unpack; `_fused_attempt_jit`) with
+    one small diagnostics pull — the dispatch count per successful step
+    is 2 (fused call + diag), vs the reference's one driver call per
+    step (MPPVSFMALM_Driver.F90:380-663).
+
     Returns a dict of CLM-facing outputs: h2osoi_liq/ice [kg/m^2],
     smp_l [mm], zwt [m], qflx_lateral/qflx_seepage [mm/s], soilp [Pa],
     plus solver diagnostics (attempts, diverged_count,
-    mass_bal_err_count, abs_mass_error_col, escalated_cols).
+    mass_bal_err_count, abs_mass_error_col, escalated_cols,
+    dispatches_per_step).
     """
     ncol, nz = prob.ncol, prob.nz
     dtype = prob.P.dtype
     comp = prob.comp
-    area = np.asarray(prob.area, np.float64)
+    fused = _fused_attempt_jit(prob)
 
-    # [mm/s] -> [kg/s]: area * denh2o * 1e-3 (Driver:298)
-    conv = area * DENH2O * 1e-3
-
-    # ---- dynamic auxvar state for this step (Driver:399-465) ----
-    dyn_g = dict(prob.dyn[0])
+    # ---- dense dynamic inputs (absent forcings stage as zeros — the
+    # same math; one trace covers every presence pattern) ----
+    def dense(v, shape):
+        return jnp.zeros(shape, jnp.float64) if v is None \
+            else jnp.asarray(np.asarray(v, np.float64))
+    forcing = {
+        "qflx_infl": dense(qflx_infl, (ncol,)),
+        "qflx_tran_veg": dense(qflx_tran_veg, (ncol,)),
+        "rootr": dense(rootr, (ncol, nz)),
+        "qflx_dew": dense(qflx_dew, (ncol,)),
+        "qflx_sub_snow": dense(qflx_sub_snow, (ncol,)),
+        "qflx_drain": dense(qflx_drain, (ncol,)),
+        "mflx_snowlyr": dense(mflx_snowlyr, (ncol,)),
+    }
+    dyn_base = dict(prob.dyn[0])
+    base_fl = dyn_base.pop("frac_liq")
     if t_soil is not None:
-        dyn_g["temperature"] = jnp.asarray(t_soil, dtype)
+        temperature = jnp.asarray(t_soil, dtype)
+    else:
+        temperature = jnp.broadcast_to(
+            jnp.asarray(comp.goveqns[0].temperature[:nz], dtype),
+            (ncol, nz))
     if frac_ice is not None:
-        dyn_g["frac_liq"] = 1.0 - jnp.asarray(frac_ice, dtype)
+        frac_liq = 1.0 - jnp.asarray(frac_ice, dtype)
+        frac_ice = jnp.asarray(frac_ice, dtype)
     else:
+        frac_liq = base_fl
         frac_ice = jnp.zeros((ncol, nz), dtype)
-    dyn = (dyn_g,)
 
-    audit_fn, unpack_fn = _audit_unpack_jits(prob)
-    mass_prev, smp_prev_mm = unpack_fn(prob.P, prob.comp._dyn_or_empty(dyn))
-    h2osoi_liq_prev = np.asarray(mass_prev) / area[:, None]
-    zwt_prev = _water_table_depth(np.asarray(smp_prev_mm), prob.zi)
+    # single-device UGDM lateral: the one non-traceable stage
+    lat_kg_in = jnp.zeros((ncol, nz), jnp.float64)
+    if prob.lateral_connectivity and prob.ugdm is not None \
+            and prob.device_mesh is None:
+        lat_kg_in = jnp.asarray(
+            np.asarray(_lateral_source(prob, prob.P), np.float64)
+            * FMWH2O)
 
-    # ---- stage SS conditions [kg/s] (Driver:290-430) ----
-    nss = sum(m for _, m in prob.ss_slices.values())
-    ss = np.zeros((ncol, nss))
-
-    def put(name, vals_cols):
-        off, m = prob.ss_slices[name]
-        ss[:, off:off + m] = vals_cols
-
-    total_flux_col = np.zeros(ncol)               # [kg/s]
-    if qflx_tran_veg is not None:
-        et = (-np.asarray(qflx_tran_veg, np.float64) * conv)[:, None] \
-            * np.asarray(rootr, np.float64)       # [kg/s] per layer, sink<0
-        put("Evapotranspiration_Flux", et)
-        total_flux_col += et.sum(axis=1)
-    if qflx_infl is not None:
-        infl = np.asarray(qflx_infl, np.float64) * conv
-        put("Infiltration_Flux", infl[:, None])
-        total_flux_col += infl
-    if qflx_dew is not None:
-        dew = np.asarray(qflx_dew, np.float64) * conv
-        put("Dew_Flux", dew[:, None])
-        total_flux_col += dew
-    if qflx_sub_snow is not None:
-        sub = -np.asarray(qflx_sub_snow, np.float64) * conv
-        put("Sublimation_Flux", sub[:, None])
-        total_flux_col += sub
-    if mflx_snowlyr is not None:
-        snow = np.asarray(mflx_snowlyr, np.float64)
-        put("Snow_Disappearance_Flux", snow[:, None])
-        total_flux_col += snow
-    if qflx_drain is not None:
-        drain, qflx_drain_tot = _stage_drainage(
-            qflx_drain, zwt_prev, prob.zi, prob.dz, h2osoi_liq_prev,
-            dtime, conv)
-        put("Drainage_Flux", drain)
-        total_flux_col += drain.sum(axis=1)
-    else:
-        qflx_drain_tot = np.zeros(ncol)
-
-    qflx_lateral = np.zeros(ncol)
-    if prob.lateral_connectivity:
-        mflx_lat = np.asarray(_lateral_source(prob, prob.P))  # [kmol/s]
-        lat_kg = mflx_lat * FMWH2O
-        put("Lateral_flux", lat_kg)
-        total_flux_col += lat_kg.sum(axis=1)
-        # qflx_lateral = -sum(mflx)/conv (Driver:522-523), mm/s
-        qflx_lateral = -lat_kg.sum(axis=1) / conv
-
-    ss = jnp.asarray(ss, dtype)
-    # seepage BC pressure = PRESSURE_REF (Driver:538-545)
-    if prob.include_seepage_bc:
-        bc = jnp.full((ncol, 1), 101325.0, dtype)
-    else:
-        bc = jnp.zeros((ncol, 0), dtype)
-
-    dyn_full = comp._dyn_or_empty(dyn)
-    with jax.enable_x64():
-        mass_beg_col = np.asarray(
-            audit_fn(prob.P, bc, dyn_full)[0]) * FMWH2O
-
-    P_prev = prob.P
     sp = comp.snes if dtype == jnp.float64 else comp.snes_f32
     rtol, stol = sp.rtol, sp.stol
+    # the mass-closure gate (|sum F|*dt*FMWH2O, the audit integrand)
+    # applies in f64 mode only: f64 closes it in the same iterations,
+    # while the f32 RESIDUAL-EVALUATION bias of ~column_storage *
+    # O(1e-6) kg means f32 cannot meaningfully iterate toward the
+    # f64-audited 1e-5 kg threshold on heavy columns — those columns
+    # go through the f64 escalation below instead (KNOWN_GAPS #9)
+    gate = 0.5 * MAX_ABS_MASS_ERROR_COL if dtype == jnp.float64 else 0.0
+
+    P_prev = prob.P
     attempts = diverged_count = mass_bal_err_count = 0
     escalated_cols = 0
+    dispatches = 0
     abs_mass_error = np.inf
-    err = None
-    P = P_prev
+    reset_fl = False
+    out = None
+    err_np = None
     while True:
         attempts += 1
-        # the mass-closure gate (|sum F|*dt*FMWH2O, the audit integrand)
-        # applies in f64 mode only: f64 closes it in the same iterations,
-        # while the f32 RESIDUAL-EVALUATION bias of ~column_storage *
-        # O(1e-6) kg means f32 cannot meaningfully iterate toward the
-        # f64-audited 1e-5 kg threshold on heavy columns — those columns
-        # go through the f64 escalation below instead (KNOWN_GAPS #9)
-        gate = (0.5 * MAX_ABS_MASS_ERROR_COL
-                if dtype == jnp.float64 else None)
-        P, iters, done, reason = comp.step_batched(
-            P_prev, (bc,), (ss,), dtime, dyn=dyn, rtol=rtol, stol=stol,
-            mass_tol_kg=gate)
-        converged = bool(jnp.all(done))
+        with jax.enable_x64():
+            out = fused(P_prev, dyn_base, temperature, frac_liq, frac_ice,
+                        forcing, lat_kg_in, reset_fl, rtol, stol, gate,
+                        dtime)
+        diag = np.asarray(out["diag"])
+        dispatches += 2                    # fused call + diag pull
+        converged = bool(diag[0])
+        P = out["P"]
+        err_np = None
         if not converged:
             # Driver:650-667: alternate stol, after 2nd divergence reset
             # frac_liq to 1
             stol = STOL_ALTERNATE
             diverged_count += 1
             if diverged_count > 1:
-                dyn_g["frac_liq"] = jnp.ones((ncol, nz), dtype)
-                dyn = (dyn_g,)
+                reset_fl = True
                 if dtype != jnp.float64 and prob.escalate_f64:
                     # the stiff f32 tail cannot close the mass gate at
                     # this dt — re-solve just those columns in f64
                     # (beyond-reference hardening; the reference is f64
                     # throughout so it never faces this)
-                    err_stub = np.where(np.asarray(done), 0.0, np.inf)
-                    P, err, nesc = _escalate_f64(
-                        prob, P_prev, P, bc, ss, dyn, err_stub, dtime,
-                        total_flux_col)
+                    err_stub = np.where(np.asarray(out["done"]), 0.0,
+                                        np.inf)
+                    dyn_g = dict(dyn_base)
+                    dyn_g["temperature"] = temperature
+                    dyn_g["frac_liq"] = jnp.ones((ncol, nz), dtype)
+                    P, err_np, nesc = _escalate_f64(
+                        prob, P_prev, P, out["bc"], out["ss"], (dyn_g,),
+                        err_stub, dtime,
+                        np.asarray(out["total_flux_col"]))
                     escalated_cols += nesc
-                    converged = bool(np.all(np.isfinite(err)))
-        if converged:
-            err = _audit_err(prob, P, bc, dyn, mass_beg_col,
-                             total_flux_col, dtime)
-            abs_mass_error = float(err.max())
+                    converged = bool(np.all(np.isfinite(err_np)))
+                    if converged:
+                        abs_mass_error = float(err_np.max())
+                        if abs_mass_error < prob.audit_threshold_kg:
+                            break
+                        converged = False
+        elif converged:
+            # audit seam: the fused program already computed (S_end,
+            # bflux); `_audit_err` stays the module-level function so
+            # failure-injection tests can intercept it
+            err_np = _audit_err(prob, P, out["bc"], None,
+                                np.asarray(out["mass_beg"]),
+                                np.asarray(out["total_flux_col"]), dtime,
+                                (out["S_end"], out["bflux"]))
+            abs_mass_error = float(err_np.max())
             if abs_mass_error >= prob.audit_threshold_kg:
                 mass_bal_err_count += 1
                 # f32: tightening below the f32 evaluation floor cannot
@@ -574,19 +731,22 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
                 # (bounded, per-column; beyond-reference hardening)
                 if (dtype != jnp.float64 and prob.escalate_f64
                         and mass_bal_err_count >= 2):
-                    P, err, nesc = _escalate_f64(
-                        prob, P_prev, P, bc, ss, dyn, err, dtime,
-                        total_flux_col)
+                    dyn_g = dict(dyn_base)
+                    dyn_g["temperature"] = temperature
+                    dyn_g["frac_liq"] = (jnp.ones((ncol, nz), dtype)
+                                         if reset_fl else frac_liq)
+                    P, err_np, nesc = _escalate_f64(
+                        prob, P_prev, P, out["bc"], out["ss"], (dyn_g,),
+                        err_np, dtime, np.asarray(out["total_flux_col"]))
                     escalated_cols += nesc
-                    abs_mass_error = float(err.max())
+                    abs_mass_error = float(err_np.max())
                     if abs_mass_error < prob.audit_threshold_kg:
                         break
                 else:
                     # Driver:886-905: tighten the criterion that fired
-                    r = np.asarray(reason)
-                    if (r == CONVERGED_FNORM_RELATIVE).any():
+                    if diag[3]:
                         rtol = rtol / 10.0
-                    if (r == CONVERGED_SNORM_RELATIVE).any():
+                    if diag[4]:
                         stol = stol / 10.0
             else:
                 break
@@ -598,48 +758,66 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
 
     prob.P = P
 
-    # ---- unpack to CLM arrays (Driver:700-900) ----
-    mass_cell, smp_l = unpack_fn(P, comp._dyn_or_empty(dyn))
-    h2osoi_liq = (1.0 - frac_ice) * mass_cell / area[:, None]   # [kg/m^2]
-    h2osoi_ice = frac_ice * mass_cell / area[:, None]
-
-    zwt = _water_table_depth(np.asarray(smp_l), prob.zi)
-
-    qflx_seepage = np.zeros(ncol)
-    if prob.include_seepage_bc:
-        # seepage mass exchange at the converged state (Driver:717-738);
-        # positive column_bc_flux = outflow in the residual convention
+    # escalation replaced column states: recompute the CLM unpack at the
+    # final state (rare path; the common path reuses the fused program's
+    # outputs untouched)
+    if escalated_cols:
+        dyn_g = dict(dyn_base)
+        dyn_g["temperature"] = temperature
+        dyn_g["frac_liq"] = (jnp.ones((ncol, nz), dtype) if reset_fl
+                             else frac_liq)
+        dyn_full = comp._dyn_or_empty((dyn_g,))
+        audit_fn, unpack_fn = _audit_unpack_jits(prob)
+        mass_cell, smp_l = unpack_fn(P, dyn_full)
+        area_j = jnp.asarray(np.asarray(prob.area, np.float64))
+        h2o_liq = (1.0 - frac_ice) * mass_cell / area_j[:, None]
+        h2o_ice = frac_ice * mass_cell / area_j[:, None]
         with jax.enable_x64():
-            bflux_kg = np.asarray(
-                audit_fn(P, bc, comp._dyn_or_empty(dyn))[1]) * FMWH2O
-        qflx_seepage = bflux_kg / conv
+            bflux = audit_fn(P, out["bc"], dyn_full)[1]
+        conv_np = np.asarray(prob.area, np.float64) * DENH2O * 1e-3
+        unpacked = {"mass_cell": mass_cell, "smp_l": smp_l,
+                    "h2osoi_liq": h2o_liq, "h2osoi_ice": h2o_ice,
+                    "zwt": _water_table_depth(smp_l, prob.zi),
+                    "qflx_seepage": np.asarray(bflux) * FMWH2O / conv_np}
+    else:
+        unpacked = {k: out[k] for k in
+                    ("mass_cell", "smp_l", "h2osoi_liq", "h2osoi_ice",
+                     "zwt", "qflx_seepage")}
 
     return {
-        "h2osoi_liq": h2osoi_liq, "h2osoi_ice": h2osoi_ice,
-        "smp_l": smp_l, "soilp": P, "zwt": zwt,
-        "qflx_lateral": qflx_lateral, "qflx_seepage": qflx_seepage,
-        "qflx_drain_tot": qflx_drain_tot,
+        "h2osoi_liq": unpacked["h2osoi_liq"],
+        "h2osoi_ice": unpacked["h2osoi_ice"],
+        "smp_l": unpacked["smp_l"], "soilp": P, "zwt": unpacked["zwt"],
+        "qflx_lateral": out["qflx_lateral"],
+        "qflx_seepage": unpacked["qflx_seepage"],
+        "qflx_drain_tot": out["qflx_drain_tot"],
         "qcharge": jnp.zeros((ncol,), dtype),
         "attempts": attempts, "diverged_count": diverged_count,
         "mass_bal_err_count": mass_bal_err_count,
         "abs_mass_error_col": abs_mass_error,
         "escalated_cols": escalated_cols,
-        "newton_iters": int(iters),
+        "newton_iters": int(diag[2]),
+        "dispatches_per_step": dispatches,
     }
 
 
-def _audit_err(prob, P, bc, dyn, mass_beg_col, total_flux_col, dtime):
+def _audit_err(prob, P, bc, dyn, mass_beg_col, total_flux_col, dtime,
+               precomputed=None):
     """Per-column |mass_beg - mass_end + total_flux*dt| [kg]
     (MPPVSFMALM_Driver.F90:861-863), evaluated in f64; BC (seepage)
     fluxes at the converged state enter with the residual's sign
-    (outflow positive)."""
-    audit, _ = _audit_unpack_jits(prob)
-    with jax.enable_x64():
-        S, bflux = audit(P, bc, prob.comp._dyn_or_empty(dyn))
+    (outflow positive).  ``precomputed`` = (S_end [kmol], bflux
+    [kmol/s]) from the fused attempt program skips the re-evaluation."""
+    if precomputed is not None:
+        S, bflux = precomputed
+    else:
+        audit, _ = _audit_unpack_jits(prob)
+        with jax.enable_x64():
+            S, bflux = audit(P, bc, prob.comp._dyn_or_empty(dyn))
     mass_end_col = np.asarray(S) * FMWH2O
     bflux_kg = np.asarray(bflux) * FMWH2O
-    return np.abs(mass_beg_col - mass_end_col
-                  + (total_flux_col - bflux_kg) * dtime)
+    return np.abs(np.asarray(mass_beg_col) - mass_end_col
+                  + (np.asarray(total_flux_col) - bflux_kg) * dtime)
 
 
 def _escalate_f64(prob, P_prev, P, bc, ss, dyn, err, dtime,
@@ -684,28 +862,28 @@ def _water_table_depth(smp_l, zi):
 
     Levels are ordered bottom (index 0) to top (index nz-1); CLM's j=1 is
     the surface, so scan from the top of the column downward.  ``zi`` is
-    the top-first interface-depth array [ncol, nz+1].
+    the top-first interface-depth array [ncol, nz+1].  Pure jnp (runs
+    inside the fused per-attempt program); accepts numpy too.
     """
-    smp_l = np.asarray(smp_l)
+    smp_l = jnp.asarray(smp_l)
     ncol, nz = smp_l.shape
+    zi = jnp.asarray(zi)
     depth_col = zi[:, -1]
     top_first = smp_l[:, ::-1]                   # j = 0 at the surface
     unsat = top_first < 0.0
     has = unsat.any(axis=1)
-    jwt = np.where(has, unsat.argmax(axis=1), -1)
-    zwt = depth_col.copy()
+    jwt = jnp.where(has, jnp.argmax(unsat, axis=1), -1)
     sel = has & (jwt != nz - 1)
-    if sel.any():
-        r = np.nonzero(sel)[0]
-        j = jwt[r]
-        # midpoints of interfaces around the first unsaturated layer
-        z_dn = 0.5 * (zi[r, j] + zi[r, j + 1])
-        z_up = 0.5 * (zi[r, j + 1] + zi[r, j + 2])
-        s0 = top_first[r, j]
-        s1 = top_first[r, j + 1]
-        denom = s0 - s1
-        zw = np.where(denom == 0.0, depth_col[r],
-                      (0.0 - s0) / np.where(denom == 0.0, 1.0, denom)
-                      * (z_dn - z_up) + z_dn)
-        zwt[r] = np.clip(zw, 0.0, depth_col[r])
-    return zwt
+    j = jnp.clip(jwt, 0, nz - 2)
+    r = jnp.arange(ncol)
+    # midpoints of interfaces around the first unsaturated layer
+    z_dn = 0.5 * (zi[r, j] + zi[r, j + 1])
+    z_up = 0.5 * (zi[r, j + 1] + zi[r, j + 2])
+    s0 = top_first[r, j]
+    s1 = top_first[r, j + 1]
+    denom = s0 - s1
+    zw = jnp.where(denom == 0.0, depth_col,
+                   (0.0 - s0) / jnp.where(denom == 0.0, 1.0, denom)
+                   * (z_dn - z_up) + z_dn)
+    zw = jnp.clip(zw, 0.0, depth_col)
+    return jnp.where(sel, zw, depth_col)
