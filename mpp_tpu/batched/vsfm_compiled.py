@@ -254,8 +254,9 @@ class CompiledVSFM:
         F [ncol, n]."""
         if self.is_tridiag:
             dl, d, du = data          # _jac_one_tridiag's diagonal tuple
-            # VMEM-tiled Pallas sweep on TPU f32 (0.82 of bytes-moved
-            # roofline; the dominant per-iteration op) — scan elsewhere
+            # VMEM-tiled Pallas sweep on TPU f32 (0.42-0.61 of the
+            # bytes-moved roofline by nz, BENCH_r04 thomas_kernel; 6-12x
+            # the scan form) — scan elsewhere
             from mpp_tpu.ops.pallas_kernels import pallas_thomas
             return pallas_thomas(dl, d, du, F)
         if self._ilu is not None:

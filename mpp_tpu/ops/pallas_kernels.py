@@ -138,10 +138,11 @@ def pallas_thomas(dl, d, du, b):
     streams each column tile into VMEM once, transposes in-register to
     put columns in lanes, runs the forward/backward sweeps entirely in
     VMEM scratch, and writes the solution back — 5 HBM streams total.
-    Sustained (long dependent chains, latency-amortized): ~0.40 of the
-    bytes-moved roofline at [16384, 64] and ~0.55 at [16384, 128] —
+    Measured (BENCH_r04 ``thomas_kernel``, v5e): 0.42 of the 5-stream
+    bytes-moved roofline at [16384, 64] and 0.61 at [16384, 128] —
     6-12x the scan form; the residual gap is the per-level dependency
-    latency of the sweep, not HBM.  Numerically it solves the same
+    latency of the sweep, not HBM.  Perf numbers here cite the bench;
+    re-measure with ``python bench.py`` before editing them.  Numerically it solves the same
     recurrence as ``ops.tridiag.thomas`` with one reciprocal per level
     (a*inv vs a/denom: equal to f32 rounding, not bitwise).
 

@@ -1,5 +1,17 @@
 """Namelist dispatcher: drive problems through the standalone_mpp-style
-CLI using the reference's own .namelist files, diff against its goldens."""
+CLI using the reference's own .namelist files, diff against its goldens.
+
+VERDICT r4 item 9: the sweep covers EVERY active namelist of the
+reference regression harness (22 active; c4_wue / c4_bonan14 are
+disabled by comment in photosynthesis.cfg, exactly as upstream), so the
+dispatcher's option decoding (problem_options ingestion included) is
+tested end-to-end per suite, not only through the per-problem test
+modules.
+
+Tolerance overrides repeat the per-problem modules' documented
+relaxations (KNOWN_GAPS.md #1/#5/#6/#7 root-cause analyses); suites
+without an entry compare at the reference cfg tolerances unchanged.
+"""
 import os
 import shutil
 
@@ -11,13 +23,38 @@ from mpp_tpu.io.regression import compare_to_baseline, load_suite_tolerances
 
 RT = os.path.join(REFERENCE_ROOT, "regression_tests")
 
-
-@pytest.mark.parametrize("suite,test,category_tols", [
+# (suite, namelist/test name, tolerance overrides)
+ALL_ACTIVE = [
+    ("vsfm", "vsfm_celia1990", {}),
+    ("vsfm", "vsfm_vchannel", {}),
+    ("vsfm", "vsfm_spac", {"pressure": (5e-8, "absolute"),
+                           "general": (5e-13, "absolute")}),
+    ("vsfm", "vsfm_spac_campbell", {"pressure": (2e-7, "absolute"),
+                                    "general": (2e-13, "absolute")}),
+    ("vsfm", "vsfm_spac_campbell_multi_goveqns",
+     {"pressure": (5e-6, "absolute"), "general": (5e-12, "absolute")}),
     ("thermal", "thermal_mms", {}),
     ("thermal", "thermal_mms_2d", {}),
-    ("vsfm", "vsfm_celia1990", {}),
+    ("thermal", "thermal_mms_3d", {}),
+    ("th", "heat_transport_1D", {"general": (5e-4, "absolute")}),
+    ("th", "mass_and_heat", {}),
+    ("th", "th_mms", {}),
+    ("mlc", "mlc", {"general": (1e-11, "absolute")}),
+    ("mlc", "mlc-two-ncair-two-tree", {"general": (1e-11, "absolute")}),
+    ("photosynthesis", "c3_bb", {}),
+    ("photosynthesis", "c4_bb", {}),
+    ("photosynthesis", "c3_medlyn", {"general": (2e-9, "absolute")}),
+    ("photosynthesis", "c4_medlyn", {}),
+    ("photosynthesis", "c3_wue", {"general": (1e-7, "absolute")}),
+    ("photosynthesis", "c3_bonan14", {"general": (5e-6, "absolute")}),
     ("longwave", "longwave", {}),
-])
+    ("shortwave", "shortwave", {}),
+    ("leafbndlyr", "leafbndlyr", {}),
+]
+
+
+@pytest.mark.parametrize("suite,test,category_tols", ALL_ACTIVE,
+                         ids=[t for _, t, _ in ALL_ACTIVE])
 def test_cli_dispatch_matches_goldens(tmp_path, suite, test, category_tols,
                                       monkeypatch):
     if not reference_available():
@@ -35,6 +72,24 @@ def test_cli_dispatch_matches_goldens(tmp_path, suite, test, category_tols,
     tols.update(category_tols)
     failures = compare_to_baseline(ours, baseline, tols)
     assert not failures, "\n".join(failures)
+
+
+def test_sweep_covers_every_active_namelist():
+    """The parametrization above must enumerate exactly the active
+    namelists present in the reference tree (new upstream suites fail
+    here rather than silently going untested)."""
+    if not reference_available():
+        pytest.skip("reference tree not available")
+    disabled = {"c4_wue", "c4_bonan14"}
+    found = set()
+    for suite in os.listdir(RT):
+        d = os.path.join(RT, suite)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".namelist"):
+                found.add(f[:-len(".namelist")])
+    assert found - disabled == {t for _, t, _ in ALL_ACTIVE}
 
 
 def test_cli_requires_namelist(capsys):
