@@ -125,6 +125,15 @@ class CompiledTH(CompiledVSFM):
         return self.template.assemble(
             jnp.concatenate([v1, v12, v21, v2])).astype(X.dtype)
 
+    def _resjac_one(self, X, bc_values, ss_values, accum_prevs, dt, src,
+                    dyn):
+        """TH evaluates residual and 2x2-block Jacobian separately (the
+        energy GE + off-diagonal blocks have no fused form yet)."""
+        F = self._residual_one(X, bc_values, ss_values, accum_prevs, dt,
+                               src, dyn)
+        A = self._jac_one(X, bc_values, ss_values, dt, dyn)
+        return F, A
+
     def _accum_prev_one(self, X, dt, dyn):
         P, T = X[:self.nh], X[self.nh:]
         am_active = jnp.asarray(self.ge_mass.mesh.is_active)

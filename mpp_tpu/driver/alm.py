@@ -622,41 +622,62 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     fused = _fused_attempt_jit(prob)
 
     # ---- dense dynamic inputs (absent forcings stage as zeros — the
-    # same math; one trace covers every presence pattern) ----
-    def dense(v, shape):
-        return jnp.zeros(shape, jnp.float64) if v is None \
-            else jnp.asarray(np.asarray(v, np.float64))
-    forcing = {
-        "qflx_infl": dense(qflx_infl, (ncol,)),
-        "qflx_tran_veg": dense(qflx_tran_veg, (ncol,)),
-        "rootr": dense(rootr, (ncol, nz)),
-        "qflx_dew": dense(qflx_dew, (ncol,)),
-        "qflx_sub_snow": dense(qflx_sub_snow, (ncol,)),
-        "qflx_drain": dense(qflx_drain, (ncol,)),
-        "mflx_snowlyr": dense(mflx_snowlyr, (ncol,)),
-    }
-    dyn_base = dict(prob.dyn[0])
-    base_fl = dyn_base.pop("frac_liq")
-    if t_soil is not None:
-        temperature = jnp.asarray(t_soil, dtype)
-    else:
-        temperature = jnp.broadcast_to(
-            jnp.asarray(comp.goveqns[0].temperature[:nz], dtype),
-            (ncol, nz))
-    if frac_ice is not None:
-        frac_liq = 1.0 - jnp.asarray(frac_ice, dtype)
-        frac_ice = jnp.asarray(frac_ice, dtype)
-    else:
-        frac_liq = base_fl
-        frac_ice = jnp.zeros((ncol, nz), dtype)
+    # same math; one trace covers every presence pattern).  Device
+    # constants for absent inputs are CACHED on the problem: on relay
+    # backends every fresh jnp.zeros/asarray is a ~dispatch-latency
+    # round trip, and the unfused driver paid ~6 of them per step.
+    cache = prob.jits.setdefault("consts", {})
 
-    # single-device UGDM lateral: the one non-traceable stage
-    lat_kg_in = jnp.zeros((ncol, nz), jnp.float64)
-    if prob.lateral_connectivity and prob.ugdm is not None \
-            and prob.device_mesh is None:
-        lat_kg_in = jnp.asarray(
-            np.asarray(_lateral_source(prob, prob.P), np.float64)
-            * FMWH2O)
+    def cached(key, build):
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
+    with jax.enable_x64():
+        def dense(v, shape):
+            if v is None:
+                return cached(("z64", shape),
+                              lambda: jnp.zeros(shape, jnp.float64))
+            if isinstance(v, jax.Array) and v.dtype == jnp.float64 \
+                    and v.shape == shape:
+                return v
+            return jnp.asarray(np.asarray(v, np.float64))
+        forcing = {
+            "qflx_infl": dense(qflx_infl, (ncol,)),
+            "qflx_tran_veg": dense(qflx_tran_veg, (ncol,)),
+            "rootr": dense(rootr, (ncol, nz)),
+            "qflx_dew": dense(qflx_dew, (ncol,)),
+            "qflx_sub_snow": dense(qflx_sub_snow, (ncol,)),
+            "qflx_drain": dense(qflx_drain, (ncol,)),
+            "mflx_snowlyr": dense(mflx_snowlyr, (ncol,)),
+        }
+        dyn_base = dict(prob.dyn[0])
+        base_fl = dyn_base.pop("frac_liq")
+        if t_soil is not None:
+            temperature = jnp.asarray(t_soil, dtype)
+        else:
+            temperature = cached(
+                ("temp_default", str(dtype)),
+                lambda: jnp.broadcast_to(
+                    jnp.asarray(comp.goveqns[0].temperature[:nz], dtype),
+                    (ncol, nz)) + jnp.zeros((), dtype))
+        if frac_ice is not None:
+            frac_liq = 1.0 - jnp.asarray(frac_ice, dtype)
+            frac_ice = jnp.asarray(frac_ice, dtype)
+        else:
+            frac_liq = base_fl
+            frac_ice = cached(("z", (ncol, nz), str(dtype)),
+                              lambda: jnp.zeros((ncol, nz), dtype))
+
+        # single-device UGDM lateral: the one non-traceable stage
+        if prob.lateral_connectivity and prob.ugdm is not None \
+                and prob.device_mesh is None:
+            lat_kg_in = jnp.asarray(
+                np.asarray(_lateral_source(prob, prob.P), np.float64)
+                * FMWH2O)
+        else:
+            lat_kg_in = cached(("z64", (ncol, nz)),
+                               lambda: jnp.zeros((ncol, nz), jnp.float64))
 
     sp = comp.snes if dtype == jnp.float64 else comp.snes_f32
     rtol, stol = sp.rtol, sp.stol
@@ -676,12 +697,24 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
     reset_fl = False
     out = None
     err_np = None
+
+    def sc(v):
+        """Cached f64 device scalar (a fresh scalar upload is a relay
+        round trip)."""
+        with jax.enable_x64():
+            return cached(("s64", float(v)),
+                          lambda: jnp.asarray(float(v), jnp.float64))
+
+    def sb(v):
+        return cached(("b", bool(v)),
+                      lambda: jnp.asarray(bool(v)))
+
     while True:
         attempts += 1
         with jax.enable_x64():
             out = fused(P_prev, dyn_base, temperature, frac_liq, frac_ice,
-                        forcing, lat_kg_in, reset_fl, rtol, stol, gate,
-                        dtime)
+                        forcing, lat_kg_in, sb(reset_fl), sc(rtol),
+                        sc(stol), sc(gate), sc(dtime))
         diag = np.asarray(out["diag"])
         dispatches += 2                    # fused call + diag pull
         converged = bool(diag[0])
