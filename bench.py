@@ -794,6 +794,26 @@ def bench_canopy(jax, jnp):
                 "4 substeps per sync",
     }
 
+    # fused hour: 12 substeps as ONE jitted program = one dispatch per
+    # hourly record (the dispatch-bound fix, VERDICT r4 item 8)
+    t0 = time.perf_counter()
+    hour_fn = pipe.fused_hour_fn(jax, nsubstep=12)
+    sh = hour_fn(state0, f0)
+    jax.block_until_ready(sh.T_air)
+    fused_compile = time.perf_counter() - t0
+    ts3 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(hour_fn(state0, f0).T_air)
+        ts3.append(time.perf_counter() - t0)
+    t_hour = max(min(ts3) - lat, 1e-9)
+    per_stage["fused_hour"] = {
+        "compile_s": fused_compile,
+        "ms_per_hour_12_substeps": t_hour * 1e3,
+        "ms_per_substep_fused": t_hour / 12 * 1e3,
+        "speedup_vs_staged_substep": dt / (t_hour / 12),
+    }
+
     # diurnal production loop (VERDICT r3 item 6): 24 hourly BC records,
     # each with a host-side shortwave re-solve feeding the jitted stages
     # as a DYNAMIC forcing input (zero retrace across hours), 12
@@ -1008,6 +1028,14 @@ def _run_section(name, budget_s):
 
 
 def _section_main(name):
+    # the straggler-compaction gather/scatter at [16384, nz] fuses into a
+    # variadic scatter whose scoped allocation slightly exceeds the
+    # default 16 MB VMEM scoping budget on v5e — raise it (a libtpu
+    # flag, so it rides LIBTPU_INIT_ARGS; the Pallas kernels request far
+    # less than this)
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
     import jax
     _enable_compile_cache(jax)
     import jax.numpy as jnp

@@ -386,6 +386,20 @@ class CanopyPipeline:
         return (jax.jit(self._stage_pre), jax.jit(self._stage_psy),
                 jax.jit(self._stage_mlc, static_argnums=(4,)))
 
+    def fused_hour_fn(self, jax, nsubstep=12, dt=300.0):
+        """ONE jitted program advancing a whole hourly record's
+        ``nsubstep`` substeps (the reference's isubstep loop,
+        ml_model_problem.F90:384-409) — one dispatch per HOUR instead of
+        3 per substep.  On dispatch-latency-dominated backends (the
+        ~23 ms relay) this removes the 3-dispatch floor the per-stage
+        breakdown in bench.py quantifies; numerics identical to
+        ``run_staged`` (same pure substep composition)."""
+        def hour(state, forcing):
+            def body(_, s):
+                return self.substep(s, dt, forcing)
+            return jax.lax.fori_loop(0, nsubstep, body, state)
+        return jax.jit(hour)
+
     def run_staged(self, fns, state: CanopyState, dt=300.0,
                    forcing: "Forcing" = None) -> CanopyState:
         if forcing is None:
@@ -526,13 +540,16 @@ class CanopyPipeline:
     # ---- diurnal production loop (ml_model_problem.F90:372-417) --------
     def run_diurnal(self, state: CanopyState, beg_step=1, end_step=24,
                     nsubstep=12, bc_provider=None, jax=None,
-                    checkpoint_dir=None):
+                    checkpoint_dir=None, fused=True):
         """The hourly istep / 300-s isubstep production loop: re-solve
         shortwave for each hourly BC record (solve_swv, ibid:375-382),
-        advance ``nsubstep`` jitted substeps with the hourly
-        :class:`Forcing` as a dynamic input (no retrace across hours),
-        checkpoint at each hour when ``checkpoint_dir`` is set
-        (checkpoint_mlc, ml_model/mlc.F90:1006-1092).
+        advance ``nsubstep`` substeps with the hourly :class:`Forcing`
+        as a dynamic input (no retrace across hours), checkpoint at each
+        hour when ``checkpoint_dir`` is set (checkpoint_mlc,
+        ml_model/mlc.F90:1006-1092).  ``fused=True`` (default) runs the
+        whole hour as ONE jitted program (`fused_hour_fn`) — one device
+        dispatch per hour; ``fused=False`` keeps the 3-programs-per-
+        substep staging (lower peak compile cost, same numerics).
 
         Returns (state, trajectory) where trajectory[istep] is the
         hour-end canopy-top (T_air, q_air) numpy snapshot."""
@@ -541,14 +558,20 @@ class CanopyPipeline:
         if bc_provider is None:
             from mpp_tpu.problems.ml_model import synthetic_diurnal_bc
             bc_provider = synthetic_diurnal_bc
-        fns = self.staged_substep_fns(jax)
+        if fused:
+            hour = self.fused_hour_fn(jax, nsubstep=nsubstep)
+        else:
+            fns = self.staged_substep_fns(jax)
         bc = None
         traj = {}
         for istep in range(beg_step, end_step + 1):
             bc = bc_provider(istep, bc)
             forcing = self.forcing_from_bc(bc)
-            for _ in range(nsubstep):
-                state = self.run_staged(fns, state, 300.0, forcing)
+            if fused:
+                state = hour(state, forcing)
+            else:
+                for _ in range(nsubstep):
+                    state = self.run_staged(fns, state, 300.0, forcing)
             traj[istep] = (np.asarray(state.T_air[:, self.ntop - 1]),
                            np.asarray(state.q_air[:, self.ntop - 1]))
             if checkpoint_dir is not None:

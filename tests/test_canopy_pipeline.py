@@ -348,3 +348,26 @@ def test_diurnal_run_and_checkpoint():
         back = pipe.restore(fname)
         for a, b in zip(state, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_hour_matches_staged_composition():
+    """The one-dispatch-per-hour fused program (fused_hour_fn) is the
+    same substep composition as the 3-stage path: identical state after
+    an hourly record's 12 substeps."""
+    import jax
+    import numpy as np
+    from mpp_tpu.batched.canopy_pipeline import CanopyPipeline
+
+    pipe = CanopyPipeline(ncair=2)
+    s0 = pipe.initial_state()
+    fns = pipe.staged_substep_fns(jax)
+    s_staged = s0
+    for _ in range(3):
+        s_staged = pipe.run_staged(fns, s_staged)
+    hour = pipe.fused_hour_fn(jax, nsubstep=3)
+    s_fused = hour(s0, pipe.default_forcing)
+    # XLA fuses differently inside the fori_loop body than across the
+    # 3 program boundaries; observed reordering noise is ~4e-12 K
+    for a, b in zip(s_staged, s_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-9)
