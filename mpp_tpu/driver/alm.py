@@ -749,14 +749,21 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
                             break
                         converged = False
         elif converged:
-            # audit seam: the fused program already computed (S_end,
-            # bflux); `_audit_err` stays the module-level function so
-            # failure-injection tests can intercept it
-            err_np = _audit_err(prob, P, out["bc"], None,
-                                np.asarray(out["mass_beg"]),
-                                np.asarray(out["total_flux_col"]), dtime,
-                                (out["S_end"], out["bflux"]))
-            abs_mass_error = float(err_np.max())
+            # audit seam: the fused program already computed the full
+            # per-column err AND its max (diag[1]); the happy path reads
+            # only the already-pulled diag (the full arrays would cost 4
+            # extra [ncol] host pulls at ~24 ms each on the relay).
+            # `_audit_err` stays the module-level interception point for
+            # failure-injection tests, detected via the sentinel.
+            if _audit_err is not _AUDIT_ERR_DEFAULT:
+                err_np = _audit_err(prob, P, out["bc"], None,
+                                    np.asarray(out["mass_beg"]),
+                                    np.asarray(out["total_flux_col"]),
+                                    dtime, (out["S_end"], out["bflux"]))
+                abs_mass_error = float(err_np.max())
+            else:
+                err_np = None
+                abs_mass_error = float(diag[1])
             if abs_mass_error >= prob.audit_threshold_kg:
                 mass_bal_err_count += 1
                 # f32: tightening below the f32 evaluation floor cannot
@@ -764,6 +771,8 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
                 # (bounded, per-column; beyond-reference hardening)
                 if (dtype != jnp.float64 and prob.escalate_f64
                         and mass_bal_err_count >= 2):
+                    if err_np is None:
+                        err_np = np.asarray(out["err"])
                     dyn_g = dict(dyn_base)
                     dyn_g["temperature"] = temperature
                     dyn_g["frac_liq"] = (jnp.ones((ncol, nz), dtype)
@@ -851,6 +860,11 @@ def _audit_err(prob, P, bc, dyn, mass_beg_col, total_flux_col, dtime,
     bflux_kg = np.asarray(bflux) * FMWH2O
     return np.abs(np.asarray(mass_beg_col) - mass_end_col
                   + (np.asarray(total_flux_col) - bflux_kg) * dtime)
+
+
+#: sentinel for the failure-injection test seam: the production driver
+#: skips the full-array audit pulls unless `_audit_err` was replaced
+_AUDIT_ERR_DEFAULT = _audit_err
 
 
 def _escalate_f64(prob, P_prev, P, bc, ss, dyn, err, dtime,
