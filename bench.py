@@ -523,13 +523,14 @@ def bench_alm(jax, jnp):
                 errs.append(o["abs_mass_error_col"])
                 its.append(o["newton_iters"])
             wall = time.perf_counter() - t0
-        ndisp = o["dispatches_per_step"]
+        nrt = o["host_round_trips_per_step"]
         out[tag] = {
             "build_plus_compile_s": build_s,
             "ms_per_step_wall": wall / nsteps * 1e3,
-            "dispatches_per_step": ndisp,
-            "ms_per_step_minus_dispatch_latency": max(
-                wall / nsteps - ndisp * lat, 0.0) * 1e3,
+            "dispatches_per_step": o["dispatches_per_step"],
+            "host_round_trips_per_step": nrt,
+            "ms_per_step_minus_round_trips": max(
+                wall / nsteps - nrt * lat, 0.0) * 1e3,
             "max_audit_err_kg": max(errs),
             "meets_1e5_threshold": bool(max(errs)
                                         < alm.MAX_ABS_MASS_ERROR_COL),

@@ -840,6 +840,9 @@ def alm_vsfm_solve(prob: ALMVSFMProblem, dtime,
         "escalated_cols": escalated_cols,
         "newton_iters": int(diag[2]),
         "dispatches_per_step": dispatches,
+        # the fused call is an async dispatch (~free on-device enqueue);
+        # only the diag pull blocks on a host round trip
+        "host_round_trips_per_step": attempts,
     }
 
 
