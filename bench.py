@@ -2,15 +2,17 @@
 {"metric", "value", "unit", "vs_baseline", "detail": {...}}.
 
 Headline (vs_baseline): **batched tridiagonal SOLVE fraction of the
-bytes-moved HBM roofline, same format (f32)** — the direct Newton
-inner solve (`ops/pallas_kernels.pallas_thomas`) that every compiled
-VSFM/KSP production step executes once per Newton iteration.  This is
-the op that dominated the profiled production step before optimization
-(63% of the per-iteration core at [16384, 64]); the Pallas VMEM-tiled
-sweep moves the minimum 5 HBM streams (4 read + 1 write, 20 B/cell
-f32) and its fraction is computed against the same-format roofline —
-no mixed-precision byte accounting in the headline (the bf16-mixed
-SpMV figures remain as clearly-labeled secondary data).
+MEASURED achievable 5-stream bytes-moved ceiling, same format (f32)**
+— the direct Newton inner solve (`ops/pallas_kernels.pallas_thomas`)
+that every compiled VSFM/KSP production step executes once per Newton
+iteration.  The denominator is what this chip actually sustains on an
+identical 4-read/1-write access pattern with no dependency chain
+(measured in-section); the nominal-DRAM-spec fraction is reported
+alongside, and a constant-cells/deeper-chain repro shows the residual
+gap is the sweep's per-level dependency latency, not HBM.  Same-format
+f32 numerator and denominator — no mixed-precision byte accounting in
+the headline (the bf16-mixed SpMV figures remain clearly-labeled
+secondary data).
 
 Sections:
 
@@ -126,8 +128,32 @@ def bench_thomas(jax, jnp):
 
     bw, kind = hbm_bandwidth_gbs(jax)
     lat = _latency(jax, jnp)
-    out = {"device": kind, "roofline_GB_s": bw, "format": "f32 (same "
-           "format numerator and denominator; 5 streams, 20 B/cell)"}
+
+    # the ACHIEVABLE ceiling: the same 5 HBM streams as the solver
+    # (read 4, write 1) with trivial compute and no dependency chain,
+    # measured at a size that cannot be VMEM-cached (5 x 67 MB; at the
+    # production shapes XLA keeps the loop-invariant diagonals resident
+    # in the 128 MB VMEM and "exceeds" DRAM bandwidth — that would be a
+    # dishonest denominator).  The nominal 819 GB/s is the DRAM spec,
+    # not a reachable program rate.
+    ncol_c, nz_c = 65536, 256
+    dlc, dc, duc, bc_ = _rand_tridiag(jax, jnp, ncol_c, nz_c, jnp.float32)
+
+    def mk_stream(K):
+        def loop(b0):
+            def body(_, bb):
+                return jnp.minimum(dlc + bb * (dc - bb * duc), 2.0) * 1.8
+            return lax.fori_loop(0, K, body, b0)
+        return loop
+
+    t_c_big = _time_amortized(jax, jnp, mk_stream, bc_, 100, lat)
+    ceil_gbs = 5 * ncol_c * nz_c * 4 / t_c_big / 1e9
+    del dlc, dc, duc, bc_
+
+    out = {"device": kind, "roofline_GB_s": bw,
+           "achievable_ceiling_GB_s": ceil_gbs,
+           "format": "f32 (same format numerator and denominator; "
+                     "5 streams, 20 B/cell)"}
     for ncol, nz in ((16384, 64), (16384, 128), (8192, 256)):
         dl, d, du, b = _rand_tridiag(jax, jnp, ncol, nz, jnp.float32)
 
@@ -143,34 +169,17 @@ def bench_thomas(jax, jnp):
                 return loop
             return make
 
-        def mk_stream():
-            # the ACHIEVABLE ceiling: the same 5 HBM streams as the
-            # solver (read 4, write 1) with trivial compute and no
-            # dependency chain — what this chip actually sustains on
-            # this access pattern (the nominal 819 GB/s is the DRAM
-            # spec, not a reachable program rate)
-            def make(K):
-                def loop(b0):
-                    def body(_, bb):
-                        return jnp.minimum(dl + bb * (d - bb * du),
-                                           2.0) * 1.8
-                    return lax.fori_loop(0, K, body, b0)
-                return loop
-            return make
-
         t_p = _time_amortized(jax, jnp, mk(pallas_thomas), b, 1000, lat)
         t_s = _time_amortized(jax, jnp, mk(scan_thomas), b, 200, lat)
-        t_c = _time_amortized(jax, jnp, mk_stream(), b, 1000, lat)
         bytes_moved = 5 * ncol * nz * 4
         nnz = 3 * ncol * nz - 2 * ncol
         ideal = bytes_moved / (bw * 1e9)
+        ideal_ach = bytes_moved / (ceil_gbs * 1e9)
         out[f"shape_{ncol}x{nz}"] = {
             "pallas_us": t_p * 1e6,
             "scan_us": t_s * 1e6,
-            "stream_ceiling_us": t_c * 1e6,
-            "stream_ceiling_GB_s": bytes_moved / t_c / 1e9,
             "pallas_vs_nominal_roofline": ideal / t_p,
-            "pallas_vs_achievable_ceiling": t_c / t_p,
+            "pallas_vs_achievable_ceiling": ideal_ach / t_p,
             "scan_vs_nominal_roofline": ideal / t_s,
             "pallas_moved_GB_s": bytes_moved / t_p / 1e9,
             "pallas_nnz_per_s": nnz / t_p,
@@ -233,19 +242,26 @@ def bench_thomas(jax, jnp):
             return loop
         return make
 
+    # every output band/vector must be consumed or XLA dead-code-
+    # eliminates its assembly and the timing lies
+    def use_bands(A_):
+        return (A_[0][:, :1] + A_[1][:, :1] + A_[2][:, :1]) * 1e-9
+
     t_res = _time_amortized(
         jax, jnp,
         mk1(lambda X: res_one(X, (bc,), (ss,), accum_prev, dtv, src,
                               dyn)[:, :1] * 1e-9 + X, None), P1, 400, lat)
     t_jac = _time_amortized(
         jax, jnp,
-        mk1(lambda X: X + jacv(X, (bc,), (ss,), dtv,
-                               dyn)[1][:, :1] * 1e-9, None), P1, 400, lat)
+        mk1(lambda X: X + use_bands(jacv(X, (bc,), (ss,), dtv, dyn)),
+            None), P1, 400, lat)
     rjv = jax.vmap(comp._resjac_one, in_axes=(0,) * 7)
-    t_rj = _time_amortized(
-        jax, jnp,
-        mk1(lambda X: X + rjv(X, (bc,), (ss,), accum_prev, dtv, src,
-                              dyn)[0][:, :1] * 1e-9, None), P1, 400, lat)
+
+    def rj_use(X):
+        F_, A_ = rjv(X, (bc,), (ss,), accum_prev, dtv, src, dyn)
+        return X + F_[:, :1] * 1e-9 + use_bands(A_)
+
+    t_rj = _time_amortized(jax, jnp, mk1(rj_use, None), P1, 400, lat)
     t_sol = _time_amortized(
         jax, jnp,
         mk1(lambda Y: pallas_thomas(A[0], A[1], A[2], Y) * 1e-6 + F,
@@ -282,11 +298,18 @@ def bench_thomas(jax, jnp):
                     "constitutive chain, not bytes",
         },
         "note": "core_separate = jac + solve + 2 residuals (the "
-                "pre-r5 iteration); core_fused = one fused "
+                "default iteration); core_fused = one fused "
                 "residual+Jacobian constitutive pass (the line-search "
                 "trial, vsfm_compiled._resjac_one) + solve + the "
-                "Jacobian-action SpMV — the production Newton now runs "
-                "the fused form on the full-accept path",
+                "Jacobian-action SpMV.  The fused form is available as "
+                "compile_vsfm(linesearch_jac='fused') but is NOT the "
+                "default: end-to-end A/B at this stress shape measured "
+                "25.2 (fused+narrow-recompute) vs 19.9 ms/step "
+                "(separate) because most columns backtrack under the "
+                "sharp-front forcing and the carried-Jacobian "
+                "re-evaluations + loop-state overhead exceed the "
+                "one-chain saving; on full-accept workloads (the ALM "
+                "production steady state) the two are within noise",
     }
     return out
 

@@ -77,6 +77,7 @@ class CompiledTH(CompiledVSFM):
                                    ksp_rtol=self.snes.ksp_rtol)
         self.max_cuts = max_cuts
         self.compact_frac = 8
+        self._ls_fused = False        # TH has no fused resjac form
         # no COND_DIRICHLET_FRM_OTR_GOVEQ coupling in the TH SoE: the
         # inter-GE coupling is the internal-auxvar exchange
         self._otr_slots = [np.zeros(0, np.int32)] * 2

@@ -80,14 +80,30 @@ class CompiledVSFM:
     """
 
     def __init__(self, mpp, snes: SNESParams = None, max_cuts: int = 20,
-                 linear_solver: str = "petsc"):
+                 linear_solver: str = "petsc",
+                 linesearch_jac: str = "separate"):
         """``linear_solver``: "petsc" (default) replicates the reference's
         inner solve — batched ILU(0)+GMRES(30) at rtol 1e-5 — so golden
         trajectories are reproduced; "direct" uses the exact batched
         solver (Thomas / block-Thomas / dense LU) — faster, lands within
         the Newton stop criterion's determinacy band of the goldens.
-        Tridiagonal problems always use Thomas (= ILU(0) exactly)."""
+        Tridiagonal problems always use Thomas (= ILU(0) exactly).
+
+        ``linesearch_jac``: "separate" (default) evaluates the Jacobian
+        at the start of each Newton iteration (the reference shape);
+        "fused" evaluates residual+Jacobian together at the line
+        search's full-step trial and carries the accepted bands into the
+        next iteration — one constitutive chain per iteration instead
+        of two when full steps are accepted, but measured SLOWER on
+        mass-backtracking batches (sharp-front stress at [16384, 64]:
+        25.2 vs 19.9 ms/step — the carry/merge overhead and per-
+        iteration Jacobian re-evaluations for backtracked columns eat
+        the saving).  Identical iteration map either way (pinned by the
+        golden suites passing in both modes)."""
         self.linear_solver = linear_solver
+        if linesearch_jac not in ("separate", "fused"):
+            raise ValueError(linesearch_jac)
+        self._ls_fused = linesearch_jac == "fused"
         self.mpp = mpp
         soe = mpp.soe
         soe._ensure_template()
@@ -429,11 +445,8 @@ class CompiledVSFM:
                        else self._jac_one)
             jacv = jax.vmap(jac_one, in_axes=(0, 0, 0, 0, 0))
             jacf = lambda X: jacv(X, bc, ss, dtl, dyn)
-
-            def merge_A(keep, A_old, A_new):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(keep[:, None], a, b),
-                    A_old, A_new)
+            ncol = dtl.shape[0]
+            kbt = max(1, ncol // 8)
 
             def bt_linesearch(X, F, fnorm, Y, initslope, done):
                 """Batched SNESLineSearchBT (cubic), per-column lambda.
@@ -466,11 +479,14 @@ class CompiledVSFM:
 
                 lam = jnp.full_like(fnorm, sp.ls_damping)
                 Xw = jnp.where(done[:, None], X, X - lam[:, None] * Y)
-                G, A_try = resjac(Xw)
+                if self._ls_fused:
+                    G, A_try = resjac(Xw)
+                else:
+                    G, A_try = res(Xw), None
                 gnorm = colnorm(G)
                 acc = accept_of(lam, gnorm) | zero | done
                 fail = ~acc & ~jnp.isfinite(gnorm)
-                first_all = jnp.all(acc | fail)
+                settled_first = acc | fail
 
                 # quadratic backtrack for the not-yet-accepted columns —
                 # skipped entirely (lax.cond) when every column accepted
@@ -550,15 +566,45 @@ class CompiledVSFM:
                 fail = fail | ~acc
                 snorm = jnp.abs(lam) * ynorm
                 # next iteration's Jacobian: the fused first-trial bands
-                # when no column backtracked, else one recompute at the
-                # final iterate (rare path; costs what every iteration
-                # used to cost)
-                A_new = lax.cond(first_all, lambda _: A_try,
-                                 lambda _: jacf(Xw), operand=None)
+                # are exact for every column settled at the full step
+                # (accepted / failed / done — their Xw did not move);
+                # only columns that ENTERED backtracking need a fresh
+                # evaluation, gathered into a narrow <= ncol//8 batch
+                # (assembly cost scales with batch width), falling back
+                # to a full-batch recompute for a mass-backtrack
+                # iteration
+                if not self._ls_fused:
+                    return acc & ~fail, Xw, G, None, gnorm, snorm
+                stale = ~settled_first
+                n_st = jnp.sum(stale)
+                if kbt < ncol:
+                    def fix_narrow(_):
+                        idx = jnp.argsort(~stale)[:kbt]   # stale first
+                        Af = jacv(Xw[idx],
+                                  tuple(b[idx] for b in bc),
+                                  tuple(v[idx] for v in ss), dtl[idx],
+                                  jax.tree_util.tree_map(
+                                      lambda a: a[idx], dyn))
+                        return jax.tree_util.tree_map(
+                            lambda at, af: at.at[idx].set(af), A_try, Af)
+
+                    def slow(_):
+                        return lax.cond(n_st <= kbt, fix_narrow,
+                                        lambda __: jacf(Xw), operand=None)
+                else:
+                    slow = lambda _: jacf(Xw)
+                A_new = lax.cond(n_st == 0, lambda _: A_try, slow,
+                                 operand=None)
                 return acc & ~fail, Xw, G, A_new, gnorm, snorm
 
             def body(s):
-                X, F, A, fnorm, it, done, reason = s
+                if self._ls_fused:
+                    X, F, A, fnorm, it, done, reason = s
+                else:
+                    X, F, fnorm, it, done, reason = s
+                    # the reference shape: Jacobian at the iteration's
+                    # start point (SOEBaseStepDT_SNES -> SNESSolve)
+                    A = jacf(X)
                 Y = self._solve(A, F)
                 # BT initslope from the true Jacobian action
                 # (ops/snes.py:91-95)
@@ -581,7 +627,6 @@ class CompiledVSFM:
                 ok = ok | tiny
                 X2 = jnp.where(keep[:, None], X, Xn)
                 F2 = jnp.where(keep[:, None], F, Gn)
-                A2 = merge_A(keep, A, An)
                 fnorm2 = jnp.where(keep, fnorm, gnormn)
                 xnorm = colnorm(X2)
                 # SNESConvergedDefault ordering (ops/snes.py:291-308)
@@ -615,7 +660,13 @@ class CompiledVSFM:
                 reason2 = jnp.where(~done2 & (it2 >= sp.max_it),
                                     DIVERGED_MAX_IT, reason2) \
                     .astype(jnp.int32)
-                return (X2, F2, A2, fnorm2, it2, done2, reason2)
+                if self._ls_fused:
+                    # An needs no keep-merge: done columns' trial point
+                    # is X itself (their A is re-evaluated in place),
+                    # and tiny/failed columns become done this
+                    # iteration, so their A is never consumed again
+                    return (X2, F2, An, fnorm2, it2, done2, reason2)
+                return (X2, F2, fnorm2, it2, done2, reason2)
 
             return body
 
@@ -623,7 +674,10 @@ class CompiledVSFM:
         # tail of <= K columns remains) ----
         resA = make_res(bc, ss, accum_prev, dt, src, dyn)
         resjacA = make_resjac(bc, ss, accum_prev, dt, src, dyn)
-        F0, A0 = resjacA(X0)
+        if self._ls_fused:
+            F0, A0 = resjacA(X0)
+        else:
+            F0, A0 = resA(X0), None
         fnorm0 = colnorm(F0)
         ttol = fnorm0 * rtol
         nan0 = ~jnp.isfinite(fnorm0)
@@ -635,19 +689,24 @@ class CompiledVSFM:
                           fnorm0, ttol)
 
         def condA(s):
-            X, F, A, fnorm, it, done, reason = s
-            go = jnp.any(~done) & (it < sp.max_it)
+            done_, it_ = s[-2], s[-3]
+            go = jnp.any(~done_) & (it_ < sp.max_it)
             if K:
-                go = go & (jnp.sum(~done) > K)
+                go = go & (jnp.sum(~done_) > K)
             return go
 
-        stA = lax.while_loop(condA, bodyA,
-                             (X0, F0, A0, fnorm0, jnp.zeros((), jnp.int32),
-                              done0, reason0))
+        s0A = ((X0, F0, A0, fnorm0, jnp.zeros((), jnp.int32), done0,
+                reason0) if self._ls_fused else
+               (X0, F0, fnorm0, jnp.zeros((), jnp.int32), done0, reason0))
+        stA = lax.while_loop(condA, bodyA, s0A)
 
         if K:
             def compact_phase(st):
-                X, F, A, fnorm, it, done, reason = st
+                if self._ls_fused:
+                    X, F, A, fnorm, it, done, reason = st
+                else:
+                    X, F, fnorm, it, done, reason = st
+                    A = None
                 idx = jnp.argsort(done)[:K]      # not-done first (stable)
                 bcK = tuple(b[idx] for b in bc)
                 ssK = tuple(v[idx] for v in ss)
@@ -655,29 +714,40 @@ class CompiledVSFM:
                 dtK = dt[idx]
                 srcK = src[idx]
                 dynK = jax.tree_util.tree_map(lambda a: a[idx], dyn)
-                AK = jax.tree_util.tree_map(lambda a: a[idx], A)
                 resB = make_res(bcK, ssK, apK, dtK, srcK, dynK)
                 resjacB = make_resjac(bcK, ssK, apK, dtK, srcK, dynK)
                 bodyB = make_body(bcK, ssK, apK, dtK, srcK, dynK, resB,
                                   resjacB, fnorm0[idx], ttol[idx])
 
                 def condB(s):
-                    Xb, Fb, Ab, fnb, itb, db, rb = s
+                    db, itb = s[-2], s[-3]
                     return jnp.any(~db) & (itb < sp.max_it)
 
-                stB = lax.while_loop(condB, bodyB,
-                                     (X[idx], F[idx], AK, fnorm[idx], it,
-                                      done[idx], reason[idx]))
-                Xb, Fb, Ab, fnb, itb, db, rb = stB
-                return (X.at[idx].set(Xb), F.at[idx].set(Fb), A,
-                        fnorm.at[idx].set(fnb), itb, done.at[idx].set(db),
-                        reason.at[idx].set(rb))
+                if self._ls_fused:
+                    AK = jax.tree_util.tree_map(lambda a: a[idx], A)
+                    s0B = (X[idx], F[idx], AK, fnorm[idx], it, done[idx],
+                           reason[idx])
+                else:
+                    s0B = (X[idx], F[idx], fnorm[idx], it, done[idx],
+                           reason[idx])
+                stB = lax.while_loop(condB, bodyB, s0B)
+                if self._ls_fused:
+                    Xb, Fb, Ab, fnb, itb, db, rb = stB
+                    return (X.at[idx].set(Xb), F.at[idx].set(Fb), A,
+                            fnorm.at[idx].set(fnb), itb,
+                            done.at[idx].set(db), reason.at[idx].set(rb))
+                Xb, Fb, fnb, itb, db, rb = stB
+                return (X.at[idx].set(Xb), F.at[idx].set(Fb),
+                        fnorm.at[idx].set(fnb), itb,
+                        done.at[idx].set(db), reason.at[idx].set(rb))
 
-            st = lax.cond(jnp.any(~stA[5]), compact_phase, lambda s: s,
+            st = lax.cond(jnp.any(~stA[-2]), compact_phase, lambda s: s,
                           stA)
         else:
             st = stA
-        X, F, A, fnorm, iters, done, reason = st
+        X, F, fnorm, iters, done, reason = (
+            (st[0], st[1], st[3], st[4], st[5], st[6]) if self._ls_fused
+            else st)
         reason = jnp.where(reason == 0, DIVERGED_MAX_IT, reason)
         return X, iters, reason
 

@@ -166,3 +166,32 @@ def test_straggler_compaction_matches_full_batch():
     assert bool(ok_ref.all()) and bool(ok_c.all())
     np.testing.assert_array_equal(np.asarray(P_c), np.asarray(P_ref))
     np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_ref))
+
+
+def test_fused_linesearch_mode_matches_separate():
+    """linesearch_jac="fused" (one constitutive chain per accepted
+    iteration, Jacobian carried through the line search) follows the
+    SAME iteration map as the default "separate" mode — batched state
+    identical to fp round-off after multi-step stiff forcing."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from mpp_tpu.batched.vsfm_compiled import compile_vsfm
+
+    nz, ncol = 16, 8
+    mpp, _ = g._build_compiled_celia(nz)
+    res = {}
+    for mode in ("separate", "fused"):
+        comp = compile_vsfm(mpp, linear_solver="direct",
+                            linesearch_jac=mode)
+        X = jnp.full((ncol, nz), 3.5355e3)
+        bc = jnp.stack([jnp.linspace(5.0e4, 9.8e4, ncol),
+                        jnp.full((ncol,), 3.5355e3)], axis=1)
+        ss = jnp.zeros((ncol, 0))
+        for _ in range(3):
+            X, iters, ok, reason = comp.step_batched(X, (bc,), (ss,),
+                                                     3600.0)
+            assert bool(np.asarray(ok).all()), mode
+        res[mode] = (np.asarray(X), np.asarray(reason))
+    np.testing.assert_array_equal(res["separate"][1], res["fused"][1])
+    np.testing.assert_allclose(res["separate"][0], res["fused"][0],
+                               rtol=0, atol=1e-7)
