@@ -82,7 +82,12 @@ def hbm_bandwidth_gbs(jax):
 
 
 def _latency(jax, jnp):
-    """Relay/dispatch round-trip latency (remote backends)."""
+    """Host-pull round-trip latency (remote backends): the cost of ONE
+    device->host scalar transfer.  NOTE: on the axon relay,
+    ``block_until_ready`` returns early (~0.1 ms even for ~10 ms device
+    programs), so a scalar pull is the only reliable completion sync —
+    every timing helper here syncs by pulling and subtracts exactly this
+    latency."""
     f = jax.jit(lambda v: v + 1.0)
     z = jnp.zeros(())
     _ = float(f(z))
@@ -94,14 +99,23 @@ def _latency(jax, jnp):
     return min(ts)
 
 
+def _sync(jax, r):
+    """Force device completion by pulling one scalar of the result
+    (block_until_ready is NOT a completion barrier on the relay)."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(leaf.ravel()[0])
+
+
 def _time_amortized(jax, jnp, make_loop_fn, x0, K, lat, reps=3):
-    """min wall time per inner call of a fori_loop-wrapped op."""
+    """min wall time per inner call of a fori_loop-wrapped op; each rep
+    costs K inner calls + one scalar pull, and exactly that pull's
+    latency is subtracted."""
     f = jax.jit(make_loop_fn(K))
-    jax.block_until_ready(f(x0))
+    _sync(jax, f(x0))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
+        _sync(jax, f(x0))
         ts.append(time.perf_counter() - t0)
     return max(min(ts) - lat, 1e-9) / K
 
@@ -142,7 +156,14 @@ def bench_thomas(jax, jnp):
     def mk_stream(K):
         def loop(b0):
             def body(_, bb):
-                return jnp.minimum(dlc + bb * (dc - bb * duc), 2.0) * 1.8
+                # the row shift makes each iteration's reads depend on
+                # every tile of the previous write: XLA cannot fuse the
+                # chain tile-wise across iterations (a pure elementwise
+                # chain gets tiled through VMEM with the inputs read
+                # ONCE for all K iterations, "exceeding" DRAM spec);
+                # still exactly 5 streams: read dlc/dc/duc/bb, write out
+                br = jnp.roll(bb, 1, axis=0)
+                return jnp.minimum(dlc + br * (dc - br * duc), 2.0) * 1.8
             return lax.fori_loop(0, K, body, b0)
         return loop
 
@@ -205,12 +226,16 @@ def bench_thomas(jax, jnp):
     out["headline_note"] = (
         "HEADLINE = same-format f32 bytes-moved fraction of the "
         "ACHIEVABLE 5-stream ceiling (measured on this chip with an "
-        "identical access pattern, no dependency chain) at the "
-        "production shape [16384, 128]; the nominal-roofline fraction "
-        "is reported alongside (the v5e spec 819 GB/s is ~1.16x what "
-        "any 5-stream program sustains here).  The kernel is 6-12x the "
-        "scan form; the residual gap is per-level dependency latency "
-        "(latency_wall_repro), not HBM")
+        "identical access pattern and no dependency chain; ~0.93 of "
+        "the 819 GB/s DRAM spec) at the production shape [16384, 128]; "
+        "the nominal-roofline fraction is reported alongside.  The "
+        "kernel is 6-12x the scan form; the residual gap is per-level "
+        "dependency latency (latency_wall_repro), not HBM.  All "
+        "timings sync via a scalar pull and subtract exactly that "
+        "pull's latency (r5 methodology fix: block_until_ready is not "
+        "a completion barrier on this relay, and chained elementwise "
+        "ceilings get tile-fused across loop iterations unless the "
+        "access pattern shifts)")
 
     # step-time share of the solve (dominant-op statement): per-Newton-
     # iteration core component times at [16384, 64] on the compiled path
@@ -334,11 +359,11 @@ def bench_spmv(jax, jnp):
             def body(_, xc):
                 return fn(a1, a2, a3, xc) * 0.5
             return lax.fori_loop(0, outer, body, x0)
-        jax.block_until_ready(loop(a1, a2, a3, x))
+        _sync(jax, loop(a1, a2, a3, x))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(a1, a2, a3, x))
+            _sync(jax, loop(a1, a2, a3, x))
             ts.append(time.perf_counter() - t0)
         return max(min(ts) - lat, 1e-9) / outer
 
@@ -346,7 +371,8 @@ def bench_spmv(jax, jnp):
     dt_f32 = timed(tridiag_spmv, dl, d, du)
 
     def ceil_fn(a, b, c, xc):
-        return jnp.minimum(a + xc * (b - xc * c), 2.0) * 1.8
+        return jax.lax.optimization_barrier(
+            jnp.minimum(a + xc * (b - xc * c), 2.0) * 1.8)
     dt_ceil = timed(ceil_fn, dl, d, du)
 
     nnz = 3 * ncol * nz - 2 * ncol
@@ -418,11 +444,11 @@ def bench_newton(jax, jnp):
                 return Pn
             return lax.fori_loop(0, nsteps, body, P)
 
-        jax.block_until_ready(multi(P1))
+        _sync(jax, multi(P1))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(multi(P1))
+            _sync(jax, multi(P1))
             ts.append(time.perf_counter() - t0)
         dt = max(min(ts) - lat, 1e-9) / nsteps
         _, it_st, _, _ = step(P1)
@@ -513,7 +539,7 @@ def bench_alm(jax, jnp):
            "soils": "per-column heterogeneous CLM "
                     "(smooth_brooks_corey_bz3 + TGDPB01), seepage BC, "
                     "infiltration+ET forcing",
-           "dispatch_latency_ms": lat * 1e3}
+           "host_pull_latency_ms": lat * 1e3}
     for dtype, tag, nsteps in ((jnp.float64, "f64_default", 4),
                                (jnp.float32, "f32_throughput", 8)):
         import contextlib
@@ -735,11 +761,11 @@ def bench_thermal(jax, jnp):
             return Tn
         return lax.fori_loop(0, K, body, T)
 
-    jax.block_until_ready(multi(T0))
+    _sync(jax, multi(T0))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(multi(T0))
+        _sync(jax, multi(T0))
         ts.append(time.perf_counter() - t0)
     dt = max(min(ts) - lat, 1e-9) / K
     return {
@@ -793,11 +819,11 @@ def bench_canopy(jax, jnp):
     # measured dispatch latency this floor is reported explicitly
     def time_stage(fn, *args, reps=3):
         o = fn(*args)
-        jax.block_until_ready(o)
+        _sync(jax, o)
         ss = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            _sync(jax, fn(*args))
             ss.append(time.perf_counter() - t0)
         return max(min(ss) - lat, 1e-9), o
 
@@ -810,7 +836,7 @@ def bench_canopy(jax, jnp):
         "psy_newton_ms": t_psy * 1e3,
         "mlc_block_solve_ms": t_mlc * 1e3,
         "dispatches_per_substep": 3,
-        "dispatch_latency_floor_ms": 3 * lat * 1e3,
+        "host_pull_latency_floor_ms": 3 * lat * 1e3,
         "stage_sum_ms": (t_pre + t_psy + t_mlc) * 1e3,
         "note": "stage times measured one dispatch at a time (each "
                 "includes one round trip, already subtracted); the "
@@ -823,12 +849,12 @@ def bench_canopy(jax, jnp):
     t0 = time.perf_counter()
     hour_fn = pipe.fused_hour_fn(jax, nsubstep=12)
     sh = hour_fn(state0, f0)
-    jax.block_until_ready(sh.T_air)
+    _sync(jax, sh.T_air)
     fused_compile = time.perf_counter() - t0
     ts3 = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(hour_fn(state0, f0).T_air)
+        _sync(jax, hour_fn(state0, f0).T_air)
         ts3.append(time.perf_counter() - t0)
     t_hour = max(min(ts3) - lat, 1e-9)
     per_stage["fused_hour"] = {
