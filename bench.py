@@ -36,8 +36,10 @@ Sections:
    1e-5 kg/step ALM threshold, escalated/resident counts reported.
 6. ``thermal_batched`` — the compiled batched KSP path (compile_ksp):
    thermal column batch assemble+solve throughput.
-7. ``canopy_pipeline`` — batched ml_model substep (lwv->lbl->psy->mlc).
-8. ``scaling`` — honest scaling data on the virtual CPU mesh: RAW
+7. ``th_batched`` — the compiled batched TH Newton (coupled mass+energy
+   2x2 block system, CompiledTH) at production batch.
+8. ``canopy_pipeline`` — batched ml_model substep (lwv->lbl->psy->mlc).
+9. ``scaling`` — honest scaling data on the virtual CPU mesh: RAW
    ratios only (this host exposes ONE chip and 2 cores; the virtual
    devices execute serially, so no measured number here can stand in
    for real multi-chip weak scaling), the measured halo share, and a
@@ -777,6 +779,89 @@ def bench_thermal(jax, jnp):
     }
 
 
+def bench_th(jax, jnp):
+    """Compiled batched TH: the coupled Richards-mass + enthalpy-energy
+    SNES family (2x2 block Jacobian, SystemOfEquationsTHType.F90:736-1005)
+    through the jitted batched Newton (batched/th_compiled.CompiledTH) at
+    production batch — VERDICT r4 item 1's bench criterion."""
+    from jax import lax
+    from mpp_tpu.problems import th
+    from mpp_tpu.batched.th_compiled import compile_th
+
+    ncol = int(os.environ.get("MPP_BENCH_NCOL_TH", 8192))
+    nh = 32
+    lat = _latency(jax, jnp)
+    mpp, _ = th.run_mass_and_heat(nx=nh)
+    # production TPU solver: interleaved [P_i,T_i] 2x2 block-tridiagonal
+    # block-Thomas (exact); "petsc" (ILU+GMRES replica) stays the serial
+    # golden-parity path
+    comp = compile_th(mpp, linear_solver="direct")
+    dtype = jnp.float32
+    # f32 stop criterion: the energy-residual evaluation floor in f32 is
+    # ~1.6e-3 of the cold-start fnorm0 (enthalpy-scale cancellation,
+    # measured on both CPU-f32 and TPU-f32: full Newton stalls at
+    # fnorm/fnorm0 ~ 1.5e-3); rtol must sit above that floor or the
+    # stopping test noise-walks.  Physical state is converged at ~3
+    # iterations (parity with the f64 trajectory is pinned by
+    # tests/test_th_compiled.py on CPU).
+    rtol_f32, stol_f32 = 2e-3, 1e-5
+    X0 = jnp.broadcast_to(jnp.asarray(mpp.soe.soln, dtype),
+                          (ncol, comp.n))
+    bc, ss = comp.gather_inputs(ncol)
+    bc = tuple(jnp.asarray(b, dtype) for b in bc)
+    ss = tuple(jnp.asarray(s, dtype) for s in ss)
+    # heterogeneous per-column top-temperature forcing
+    bc_e = bc[1].at[:, 0].set(jnp.linspace(296.15, 310.15, ncol,
+                                           dtype=dtype))
+    bc = (bc[0], bc_e)
+    dyn = tuple({k: jnp.asarray(v, dtype) for k, v in d.items()}
+                for d in comp._serial_dyn(ncol))
+
+    X1, it1, ok, _ = comp.step_batched(X0, bc, ss, 3600.0, dyn=dyn,
+                                       rtol=rtol_f32, stol=stol_f32)
+    _sync(jax, X1)
+    assert bool(np.asarray(ok).all())
+
+    nsteps = 8
+    src = jnp.zeros((ncol, comp.n), dtype)
+    tols = (jnp.asarray(rtol_f32, dtype), jnp.asarray(stol_f32, dtype),
+            jnp.asarray(0.0, dtype))
+
+    @jax.jit
+    def multi(X):
+        def body(_, XX):
+            Xn, _, _, _ = comp._step_dt_batched(XX, bc, ss, 3600.0,
+                                                src, dyn, tols)
+            return Xn
+        return lax.fori_loop(0, nsteps, body, X)
+
+    _sync(jax, multi(X1))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(jax, multi(X1))
+        ts.append(time.perf_counter() - t0)
+    dt = max(min(ts) - lat, 1e-9) / nsteps
+    _, it_st, ok_st, _ = comp.step_batched(X1, bc, ss, 3600.0, dyn=dyn,
+                                           rtol=rtol_f32, stol=stol_f32)
+    return {
+        "ncol": ncol, "cells_per_col": nh, "dofs_per_col": comp.n,
+        "dtype": "float32",
+        "f32_stop": {"rtol": rtol_f32, "stol": stol_f32,
+                     "note": "rtol sits just above the measured f32 "
+                             "energy-residual evaluation floor "
+                             "(~1.6e-3 of cold fnorm0); below it the "
+                             "fnorm test noise-walks"},
+        "path": "CompiledTH batched Newton, 2x2 block Jacobian "
+                "(mass|energy), interleaved block-Thomas direct solve",
+        "ms_per_step": dt * 1e3,
+        "column_steps_per_s": ncol / dt,
+        "newton_iters_first_step": int(it1),
+        "newton_iters_steady": int(it_st),
+        "all_converged_steady": bool(np.asarray(ok_st).all()),
+    }
+
+
 def bench_canopy(jax, jnp):
     """Batched ml_model substep (lwv -> lbl -> psy -> mlc) over [ncair]
     columns — the coupled-canopy production path
@@ -1062,7 +1147,8 @@ def bench_scaling():
 
 SECTIONS = {"thomas": 600, "spmv": 600, "vsfm_newton": 600,
             "alm_production": 600, "f32_stress": 900,
-            "thermal_batched": 600, "canopy_pipeline": 900}
+            "thermal_batched": 600, "th_batched": 600,
+            "canopy_pipeline": 900}
 
 
 def _run_section(name, budget_s):
@@ -1082,17 +1168,20 @@ def _section_main(name):
     # variadic scatter whose scoped allocation slightly exceeds the
     # default 16 MB VMEM scoping budget on v5e — raise it (a libtpu
     # flag, so it rides LIBTPU_INIT_ARGS; the Pallas kernels request far
-    # less than this)
-    os.environ["LIBTPU_INIT_ARGS"] = (
-        os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+    # less than this).  Scoped to the sections that need it: with the
+    # raised limit the TH block-Thomas scan program hits a TPU kernel
+    # fault (measured; the default budget runs it fine).
+    if name in ("vsfm_newton", "alm_production", "f32_stress"):
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            os.environ.get("LIBTPU_INIT_ARGS", "")
+            + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
     import jax
     _enable_compile_cache(jax)
     import jax.numpy as jnp
     fn = {"thomas": bench_thomas, "spmv": bench_spmv,
           "vsfm_newton": bench_newton, "alm_production": bench_alm,
           "f32_stress": bench_f32_stress, "thermal_batched": bench_thermal,
-          "canopy_pipeline": bench_canopy}[name]
+          "th_batched": bench_th, "canopy_pipeline": bench_canopy}[name]
     print(json.dumps(fn(jax, jnp)))
 
 

@@ -85,6 +85,64 @@ class CompiledTH(CompiledVSFM):
         self._plan_solver()
         self._step_jit = jax.jit(self._step_dt_batched)
 
+    # ---- interleaved 2x2 block-tridiagonal direct solve -------------------
+    def _plan_solver(self):
+        """TPU-idiomatic direct solve for the TH 2x2 block system.
+
+        The SoE template orders unknowns [P-block; T-block] (the
+        reference's DMComposite layout, MultiPhysicsProbBaseType.F90:
+        1120-1184); interleaving them per cell, x~ = [P_0, T_0, P_1,
+        T_1, ...], turns the 2x2 block Jacobian (J11 tridiagonal,
+        J12/J21/J22 at-most-tridiagonal — every TH coupling is a
+        nearest-neighbor two-point flux) into a block-tridiagonal
+        system with 2x2 blocks, solved exactly by the batched
+        block-Thomas sweep (ops/block_thomas) in O(n) work per column
+        — instead of a batched dense LU (O(n^3), and a pivoted LU
+        lowers catastrophically slowly on TPU).  ``linear_solver=
+        "petsc"`` (the default) keeps the reference-replica
+        ILU(0)+GMRES(30) for golden-trajectory parity; "direct" is the
+        production TPU path (exact solve, so Newton trajectories match
+        the f64 goldens to solver tolerance)."""
+        t = self.template
+        from mpp_tpu.batched.ilu_gmres import make_ell_matvec
+        self.is_tridiag = False
+        self.block_size = None
+        self._ilu = None
+        self._th_blk = None
+        self._matvec = make_ell_matvec(t.indptr, t.indices)
+        if self.linear_solver == "petsc":
+            from mpp_tpu.batched.ilu_gmres import BatchedILU0
+            self._ilu = BatchedILU0(t.indptr, t.indices)
+            return
+        nh = self.nh
+        rows = t.row_ids().astype(np.int64)
+        cols = t.indices.astype(np.int64)
+        lev_r, slot_r = rows % nh, rows // nh
+        lev_c, slot_c = cols % nh, cols // nh
+        band = lev_c - lev_r
+        if np.abs(band).max(initial=0) > 1:
+            super()._plan_solver()      # not nearest-neighbor: generic plan
+            return
+        # CSR slot of each (band B, level i, rowslot a, colslot b) entry;
+        # absent entries gather slot 0 and are masked to zero
+        slots = np.zeros((3, nh, 2, 2), np.int64)
+        mask = np.zeros((3, nh, 2, 2), np.float64)
+        for s in range(rows.size):
+            B = int(band[s]) + 1
+            slots[B, lev_r[s], slot_r[s], slot_c[s]] = s
+            mask[B, lev_r[s], slot_r[s], slot_c[s]] = 1.0
+        self._th_blk = (jnp.asarray(slots), jnp.asarray(mask))
+
+    def _solve(self, data, F):
+        if getattr(self, "_th_blk", None) is None:
+            return super()._solve(data, F)
+        slots, mask = self._th_blk
+        from mpp_tpu.ops.block_thomas import block_thomas
+        blk = data[:, slots] * mask.astype(data.dtype)  # [ncol,3,nh,2,2]
+        b = jnp.stack([F[:, :self.nh], F[:, self.nh:]], axis=-1)
+        x = block_thomas(blk[:, 0], blk[:, 1], blk[:, 2], b)
+        return jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)
+
     # ---- pure single-column evaluation (the TH exchange + 2x2 blocks) ----
     def _dyn_mass(self, dyn, T):
         """Mass-GE dyn dict with the exchanged internal temperature

@@ -43,6 +43,48 @@ def block_thomas(L, D, U, b):
         return _block_thomas_impl(L, D, U, b)
 
 
+def small_solve(A, B):
+    """Solve A @ X = B for batched tiny blocks: A [..., m, m],
+    B [..., m, k] with m static and small.
+
+    ``jnp.linalg.solve`` lowers each solve to a pivoted LAPACK-style LU
+    whose row-pivot loop serializes catastrophically on TPU (a 2x2
+    solve inside a 32-level scan costs ~160 ms at ncol=8192 — ~500x
+    the arithmetic); here m<=2 uses the closed-form adjugate and
+    3<=m<=8 an UNROLLED Gauss-Jordan with per-batch partial pivoting
+    (m static steps of vectorized ops: argmax + take_along_axis row
+    swap, rank-1 elimination).  Larger m falls back to linalg.solve.
+    """
+    m = A.shape[-1]
+    if m == 1:
+        return B / A[..., 0:1, :]
+    if m == 2:
+        a, b_ = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b_ * c
+        x0 = d[..., None] * B[..., 0, :] - b_[..., None] * B[..., 1, :]
+        x1 = -c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :]
+        return jnp.stack([x0, x1], axis=-2) / det[..., None, None]
+    if m > 8:
+        return jnp.linalg.solve(A, B)
+    M = jnp.concatenate([A, B], axis=-1)            # [..., m, m+k]
+    rows = jnp.arange(m)
+    for j in range(m):
+        # partial pivot: the largest |entry| in column j at row >= j
+        colj = jnp.abs(M[..., :, j])
+        colj = jnp.where(rows >= j, colj, -jnp.inf)
+        p = jnp.argmax(colj, axis=-1)               # [...]
+        idx = jnp.where(rows == j, p[..., None],
+                        jnp.where(rows == p[..., None], j, rows))
+        M = jnp.take_along_axis(M, idx[..., None], axis=-2)
+        piv = M[..., j, :]                          # [..., m+k]
+        fac = M[..., :, j] / piv[..., j][..., None]
+        fac = jnp.where(rows == j, 0.0, fac)        # keep row j
+        M = M - fac[..., None] * piv[..., None, :]
+    diag = jnp.diagonal(M[..., :m], axis1=-2, axis2=-1)
+    return M[..., m:] / diag[..., None]
+
+
 def _block_thomas_impl(L, D, U, b):
     # move level axis to front for scan: [n, ..., m, m]
     nd = b.ndim
@@ -61,7 +103,7 @@ def _block_thomas_impl(L, D, U, b):
         rhs = jnp.concatenate(
             [U_k, (b_k - (L_k @ dp_prev[..., None])[..., 0])[..., None]],
             axis=-1)
-        sol = jnp.linalg.solve(denom, rhs)    # [..., m, m+1]
+        sol = small_solve(denom, rhs)         # [..., m, m+1]
         Cp = sol[..., :m]
         dp = sol[..., m]
         return (Cp, dp), (Cp, dp)
