@@ -137,10 +137,12 @@ class CompiledTH(CompiledVSFM):
         if getattr(self, "_th_blk", None) is None:
             return super()._solve(data, F)
         slots, mask = self._th_blk
-        from mpp_tpu.ops.block_thomas import block_thomas
+        from mpp_tpu.ops.pallas_kernels import pallas_block_thomas2
         blk = data[:, slots] * mask.astype(data.dtype)  # [ncol,3,nh,2,2]
         b = jnp.stack([F[:, :self.nh], F[:, self.nh:]], axis=-1)
-        x = block_thomas(blk[:, 0], blk[:, 1], blk[:, 2], b)
+        # VMEM-resident Pallas sweep on TPU f32 (scan fallback off-TPU
+        # and for f64 parity runs)
+        x = pallas_block_thomas2(blk[:, 0], blk[:, 1], blk[:, 2], b)
         return jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)
 
     # ---- pure single-column evaluation (the TH exchange + 2x2 blocks) ----

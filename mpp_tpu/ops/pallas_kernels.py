@@ -284,3 +284,125 @@ def tridiag_jacobi_smooth(dl, d, du, b, x, iters: int, omega=2.0 / 3.0,
         in_specs=[bs()] * 5,
         out_specs=bs(),
     )(dl, d, du, b, x)
+
+
+def pallas_block_thomas2(L, D, U, b, block_cols: int = 512,
+                         interpret: bool = False):
+    """Batched 2x2 BLOCK-tridiagonal solve — the TH production
+    Newton-direction solver (CompiledTH._solve, interleaved [P_i, T_i]
+    ordering of the coupled mass/energy system,
+    ``soe/SystemOfEquationsTHType.F90:853-1005``).
+
+    L/D/U: [ncol, n, 2, 2] blocks (L[:, 0] and U[:, n-1] unused),
+    b: [ncol, n, 2]; returns x [ncol, n, 2].
+
+    The ``lax.scan`` block sweep (ops/block_thomas) pays a per-level
+    kernel-dispatch latency: at [8192 cols, 32 levels] the whole solve
+    is ~12.5 ms while its arithmetic is microseconds.  This kernel
+    follows the ``pallas_thomas`` design — stream a column tile's 14
+    component planes into VMEM once, transpose in-register so levels
+    index sublanes and columns ride lanes, run the forward/backward
+    block recurrence with the carry in registers (closed-form 2x2
+    adjugate solves, the ``small_solve`` m=2 form), write x back.
+
+    Falls back to the scan implementation off-TPU, for f64, and for
+    shapes the layout cannot tile.
+    """
+    from mpp_tpu.ops.block_thomas import block_thomas
+
+    ncol, n = b.shape[0], b.shape[1]
+    if b.dtype != jnp.float32 or (not _on_tpu() and not interpret) \
+            or n % 8 or n < 8:
+        return block_thomas(L, D, U, b)
+    C = block_cols
+    while C >= 128 and ncol % C:
+        C //= 2
+    if C < 128:
+        return block_thomas(L, D, U, b)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    comps = [L[..., i, j] for i in (0, 1) for j in (0, 1)] \
+        + [D[..., i, j] for i in (0, 1) for j in (0, 1)] \
+        + [U[..., i, j] for i in (0, 1) for j in (0, 1)] \
+        + [b[..., 0], b[..., 1]]
+
+    def kern(l00r, l01r, l10r, l11r, d00r, d01r, d10r, d11r,
+             u00r, u01r, u10r, u11r, b0r, b1r, x0r, x1r,
+             cp00, cp01, cp10, cp11, dp0, dp1,
+             l00, l01, l10, l11, d00, d01, d10, d11,
+             u00, u01, u10, u11, b0s, b1s):
+        for dst, src in ((l00, l00r), (l01, l01r), (l10, l10r),
+                         (l11, l11r), (d00, d00r), (d01, d01r),
+                         (d10, d10r), (d11, d11r), (u00, u00r),
+                         (u01, u01r), (u10, u10r), (u11, u11r),
+                         (b0s, b0r), (b1s, b1r)):
+            dst[:] = src[:].T
+
+        def fwd(k, carry):
+            cp00m, cp01m, cp10m, cp11m, dp0m, dp1m = carry
+            live = (k > 0).astype(jnp.float32)
+            lk00 = l00[pl.ds(k, 1), :] * live
+            lk01 = l01[pl.ds(k, 1), :] * live
+            lk10 = l10[pl.ds(k, 1), :] * live
+            lk11 = l11[pl.ds(k, 1), :] * live
+            a = d00[pl.ds(k, 1), :] - (lk00 * cp00m + lk01 * cp10m)
+            bb = d01[pl.ds(k, 1), :] - (lk00 * cp01m + lk01 * cp11m)
+            c = d10[pl.ds(k, 1), :] - (lk10 * cp00m + lk11 * cp10m)
+            dd = d11[pl.ds(k, 1), :] - (lk10 * cp01m + lk11 * cp11m)
+            r0 = b0s[pl.ds(k, 1), :] - (lk00 * dp0m + lk01 * dp1m)
+            r1 = b1s[pl.ds(k, 1), :] - (lk10 * dp0m + lk11 * dp1m)
+            idet = 1.0 / (a * dd - bb * c)
+            uk00 = u00[pl.ds(k, 1), :]
+            uk01 = u01[pl.ds(k, 1), :]
+            uk10 = u10[pl.ds(k, 1), :]
+            uk11 = u11[pl.ds(k, 1), :]
+            cp00k = (dd * uk00 - bb * uk10) * idet
+            cp01k = (dd * uk01 - bb * uk11) * idet
+            cp10k = (a * uk10 - c * uk00) * idet
+            cp11k = (a * uk11 - c * uk01) * idet
+            dp0k = (dd * r0 - bb * r1) * idet
+            dp1k = (a * r1 - c * r0) * idet
+            cp00[pl.ds(k, 1), :] = cp00k
+            cp01[pl.ds(k, 1), :] = cp01k
+            cp10[pl.ds(k, 1), :] = cp10k
+            cp11[pl.ds(k, 1), :] = cp11k
+            dp0[pl.ds(k, 1), :] = dp0k
+            dp1[pl.ds(k, 1), :] = dp1k
+            return (cp00k, cp01k, cp10k, cp11k, dp0k, dp1k)
+
+        z = jnp.zeros((1, C), jnp.float32)
+        lax.fori_loop(0, n, fwd, (z, z, z, z, z, z))
+
+        # back substitution in place: dp becomes x
+        def back(i, xn):
+            x0n, x1n = xn
+            k = n - 2 - i
+            x0k = dp0[pl.ds(k, 1), :] - (cp00[pl.ds(k, 1), :] * x0n
+                                         + cp01[pl.ds(k, 1), :] * x1n)
+            x1k = dp1[pl.ds(k, 1), :] - (cp10[pl.ds(k, 1), :] * x0n
+                                         + cp11[pl.ds(k, 1), :] * x1n)
+            dp0[pl.ds(k, 1), :] = x0k
+            dp1[pl.ds(k, 1), :] = x1k
+            return (x0k, x1k)
+
+        lax.fori_loop(0, n - 1, back,
+                      (dp0[pl.ds(n - 1, 1), :], dp1[pl.ds(n - 1, 1), :]))
+        x0r[:] = dp0[:].T
+        x1r[:] = dp1[:].T
+
+    bs = lambda: pl.BlockSpec((C, n), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    scr = lambda: pltpu.VMEM((n, C), jnp.float32)
+    x0, x1 = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((ncol, n), jnp.float32)] * 2,
+        grid=(ncol // C,),
+        in_specs=[bs() for _ in range(14)],
+        out_specs=[bs(), bs()],
+        scratch_shapes=[scr() for _ in range(20)],
+        interpret=interpret,
+    )(*comps)
+    return jnp.stack([x0, x1], axis=-1)

@@ -86,3 +86,24 @@ def test_f32_newton_with_mixed_action_converges():
                                               src=src)
     assert bool(ok.all()), np.asarray(reason)
     assert np.isfinite(np.asarray(Xn)).all()
+
+
+def test_pallas_block_thomas2_interpret_matches_scan():
+    """The Pallas 2x2 block-Thomas (TH Newton-direction solver) vs the
+    lax.scan block sweep, in interpret mode (runs on CPU)."""
+    from mpp_tpu.ops.pallas_kernels import pallas_block_thomas2
+    from mpp_tpu.ops.block_thomas import block_thomas
+    rng = np.random.default_rng(0)
+    ncol, n = 256, 32
+    L = (rng.standard_normal((ncol, n, 2, 2)) * 0.2).astype(np.float32)
+    U = (rng.standard_normal((ncol, n, 2, 2)) * 0.2).astype(np.float32)
+    D = rng.standard_normal((ncol, n, 2, 2)).astype(np.float32)
+    D[..., 0, 0] += 3.0
+    D[..., 1, 1] += 3.0
+    b = rng.standard_normal((ncol, n, 2)).astype(np.float32)
+    x = np.asarray(pallas_block_thomas2(
+        jnp.asarray(L), jnp.asarray(D), jnp.asarray(U), jnp.asarray(b),
+        interpret=True))
+    xr = np.asarray(block_thomas(jnp.asarray(L), jnp.asarray(D),
+                                 jnp.asarray(U), jnp.asarray(b)))
+    np.testing.assert_allclose(x, xr, rtol=2e-5, atol=2e-5)
