@@ -1154,13 +1154,22 @@ SECTIONS = {"thomas": 600, "spmv": 600, "vsfm_newton": 600,
 def _run_section(name, budget_s):
     """Each device section runs in its own subprocess under a hard
     timeout: the driver's TPU tunnel can stall indefinitely, and one
-    wedged section must not take down the whole benchmark."""
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--section", name],
-        capture_output=True, text=True, timeout=budget_s,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    wedged section must not take down the whole benchmark.  One retry:
+    the relay backend's worker process occasionally crashes transiently
+    (observed mid-suite; the same section passes standalone)."""
+    last_err = None
+    for _ in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name],
+                capture_output=True, text=True, timeout=budget_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            time.sleep(10)
+    raise last_err
 
 
 def _section_main(name):
