@@ -789,7 +789,7 @@ def bench_th(jax, jnp):
     from mpp_tpu.batched.th_compiled import compile_th
 
     ncol = int(os.environ.get("MPP_BENCH_NCOL_TH", 8192))
-    nh = 32
+    nh = int(os.environ.get("MPP_BENCH_NZ_TH", 64))
     lat = _latency(jax, jnp)
     mpp, _ = th.run_mass_and_heat(nx=nh)
     # production TPU solver: interleaved [P_i,T_i] 2x2 block-tridiagonal
@@ -1147,7 +1147,7 @@ def bench_scaling():
 
 SECTIONS = {"thomas": 600, "spmv": 600, "vsfm_newton": 600,
             "alm_production": 600, "f32_stress": 900,
-            "thermal_batched": 600, "th_batched": 600,
+            "thermal_batched": 600, "th_batched": 900,
             "canopy_pipeline": 900}
 
 
